@@ -1,0 +1,108 @@
+"""Graph materialization & read API (SURVEY.md §2.1 S5/S6, §2.3 J6,
+§2.4 A8, §2.6 SO1).
+
+node/edge table export with dense ids (ref src/api.rs:363-447), snapshot
+diff (ref src/main.rs:606-640), def-ref pairs (ref src/symbol.rs:304-323),
+and the two-phase salted aggregation required for hub-entity hot keys
+(north rule; the reference's analog is hub-file damping, graph.rs:916-918).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# O8: two-phase salted sum for skewed keys. groupBy(key) where few keys own
+# most rows → stage 1 groups on (key, crc32(unique_col) % buckets) to spread
+# a hot key over `buckets` reducers, stage 2 combines the partials.
+# Deterministic (hash of a data column, never rand()) so resume/retry is
+# idempotent.
+# ---------------------------------------------------------------------------
+def salted_sum(df: DataFrame, key_cols: list[str], value_col: str,
+               salt_col: str, buckets: int = 16, out_col: str | None = None) -> DataFrame:
+    out = out_col or value_col
+    salt = (F.crc32(F.col(salt_col).cast("string")) % buckets).alias("_salt")
+    partial = (
+        df.groupBy(*key_cols, salt)
+        .agg(F.sum(value_col).alias("_partial"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(out))
+
+
+# ---------------------------------------------------------------------------
+# A8: accumulate candidate scores into symbol→symbol edge weights
+# (ref symbol.rs:231-241, called graph.rs:783-784), salted because hub
+# entities concentrate on few dst keys.
+# ---------------------------------------------------------------------------
+def accumulate_edges(links: DataFrame, src_col: str = "src_id",
+                     dst_col: str = "dst_id", weight_col: str = "score",
+                     salt_from: str | None = None, buckets: int = 16) -> DataFrame:
+    salt_src = salt_from or src_col
+    return salted_sum(
+        links, [src_col, dst_col], weight_col, salt_src, buckets, out_col="weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: dense-id node/edge export (ref api.rs:363-447 / main.rs:288-327).
+# Dense ids via a sorted dense_rank over url — deterministic, matching the
+# reference's sorted-files enumeration (api.rs:368-375).
+# ---------------------------------------------------------------------------
+def dense_export(related: DataFrame) -> tuple[DataFrame, DataFrame]:
+    urls = (
+        related.select(F.col("page").alias("url"))
+        .union(related.select(F.col("other").alias("url")))
+        .distinct()
+    )
+    w = Window.orderBy("url")
+    nodes = urls.withColumn("id", F.dense_rank().over(w) - 1).select("id", "url")
+    src = nodes.select(F.col("url").alias("page"), F.col("id").alias("src"))
+    dst = nodes.select(F.col("url").alias("other"), F.col("id").alias("dst"))
+    edges_out = (
+        related.join(src, "page").join(dst, "other")
+        .select("src", "dst", "score")
+    )
+    return nodes, edges_out
+
+
+# ---------------------------------------------------------------------------
+# S6: relation matrix (ref main.rs:329-441) — long form; the CSV pivot is a
+# groupBy().pivot() away and only sensible at small scale.
+# ---------------------------------------------------------------------------
+def relation_matrix(related: DataFrame, pivot_values: list[str] | None = None) -> DataFrame:
+    if pivot_values is None:
+        return related.select("page", "other", "score")
+    return related.groupBy("page").pivot("other", pivot_values).sum("score")
+
+
+# ---------------------------------------------------------------------------
+# J6: def-ref pairs between two pages (ref symbol.rs:304-323, api.rs:344-351)
+# — a two-hop join over the edge table, not a nested loop.
+# ---------------------------------------------------------------------------
+def pairs_between(edges_df: DataFrame, src_url: str, dst_url: str) -> DataFrame:
+    return (
+        edges_df.filter((F.col("src_url") == src_url) & (F.col("dst_url") == dst_url))
+        .select("src_url", "dst_url", "name", "weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SO1: snapshot diff (ref main.rs:606-640): link sets of two runs →
+# ADDED (only in new), DELETED (only in old), MODIFIED (in both).
+# Full-outer join on the link key — Iceberg time-travel supplies the two
+# inputs in production; any two DataFrames here.
+# ---------------------------------------------------------------------------
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str] = ("page", "other")) -> DataFrame:
+    key_cols = list(key_cols)
+    o = old.select(*key_cols).distinct().withColumn("_in_old", F.lit(1))
+    n = new.select(*key_cols).distinct().withColumn("_in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    state = (
+        F.when(F.col("_in_old").isNull(), F.lit("ADDED"))
+        .when(F.col("_in_new").isNull(), F.lit("DELETED"))
+        .otherwise(F.lit("MODIFIED"))
+    )
+    return j.select(*key_cols, state.alias("state"))
