@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query keys are named after the SURVEY.md §2 operator inventory they cover
+(u1/f7/a3/j1/j2/j5/j7/a4/a8/a9/w1/w6/w8/f8/so1/s5/s6/x_*), plus the
+training-data pipeline ops (dd_* dedup, tq_* text analysis, ann_*
+similarity, mm_* multimodal).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gossiphs_spark.plans import queries as Q  # noqa: E402
+from gossiphs_spark.plans.oracles import ORACLES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text-mode KG construction over sf0.001 — mentions →
+    pointless-filter → linking → edges → related-pages → top-5 neighbors."""
+    return Q.w8_topk_neighbors(spark, "/root/testdata/sf0.001")
+
+
+_QUERY_NAMES = [
+    # KG core (SURVEY.md §2.1-2.6)
+    "u1_mentions",
+    "f7_pointless_counts",
+    "a3_idf",
+    "j1_link_exact",
+    "j1_candidate_counts",
+    "j2_link_basename",
+    "a8_edges",
+    "a9_related_pages",
+    "w8_topk_neighbors",
+    "j7_trigram_fallback",
+    "triples_extract",
+    "so1_snapshot_diff",
+    "s5_dense_export",
+    "s6_source_matrix",
+    # evidence-based scoring (§2.3 J5, §2.4, §2.5)
+    "f8_valid_evidence",
+    "a4_decayed_cardinality",
+    "j5_jaccard_pairs",
+    "w1_knee_cutoffs",
+    "w6_entropy_zscore",
+    # scalar suite (§2.7)
+    "x_scalar_suite",
+    # training-data pipeline ops
+    "dd_exact_dups",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "tq_token_stats",
+    "tq_quality",
+    "tq_langid",
+    "tq_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _QUERY_NAMES:
+        out[name] = getattr(Q, name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: ORACLES[name] for name in _QUERY_NAMES if name in ORACLES}

@@ -1,0 +1,521 @@
+"""DuckDB oracle SQL — the ANSI-SQL twins of plans/queries.py.
+
+Each string is runnable by DuckDB 1.0 over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings) and reproduces the matching Spark query bit-for-bit on integer
+columns and to 4-6 rounded decimals on float columns.
+
+Portability rules used throughout:
+* 60-bit hash: CAST(('0x' || substring(md5(s),1,15)) AS BIGINT)
+  == Spark conv(substring(md5(s),1,15),16,10)::long
+* integer division spelled `//` (DuckDB) to match Spark floor(x/y);
+  CAST(double AS INT) is avoided (DuckDB rounds, Spark truncates)
+* regexp_replace always carries the 'g' flag (DuckDB is first-match)
+"""
+
+from __future__ import annotations
+
+DOCN = "CAST(string_split({col}, '//')[2] AS BIGINT)"
+
+
+def _kg_ctes(prefix: str = "", pages_where: str = "TRUE") -> str:
+    """The text-mode KG pipeline as a CTE chain (mentions → filtered →
+    edges → related), optionally name-prefixed so two corpora can coexist
+    in one statement (snapshot diff)."""
+    p = prefix
+    return f"""
+{p}pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text AS content, lang, source
+  FROM documents WHERE {pages_where}
+),
+{p}tok0 AS (
+  SELECT url, source,
+         unnest(string_split(content, ' ')) AS name,
+         generate_subscripts(string_split(content, ' '), 1) - 1 AS pos
+  FROM {p}pages
+),
+{p}tokb AS (
+  SELECT url, source, name, pos,
+         CAST(SUM(length(name) + 1) OVER (PARTITION BY url ORDER BY pos)
+              - (length(name) + 1) AS BIGINT) AS start_byte
+  FROM {p}tok0
+),
+{p}mentions AS (
+  SELECT url, source, name,
+         CASE WHEN pos = MIN(pos) OVER (PARTITION BY url, name)
+              THEN 'DEF' ELSE 'REF' END AS kind,
+         CAST(pos AS BIGINT) AS pos, start_byte,
+         CAST(start_byte + length(name) AS BIGINT) AS end_byte
+  FROM {p}tokb WHERE name <> ''
+),
+{p}fm AS (SELECT * FROM {p}mentions WHERE length(name) > 3),
+{p}fdefs AS (SELECT * FROM {p}fm WHERE kind = 'DEF'),
+{p}frefs AS (SELECT * FROM {p}fm WHERE kind = 'REF'),
+{p}kept_defs AS (
+  SELECT d.* FROM {p}fdefs d
+  WHERE EXISTS (SELECT 1 FROM {p}frefs r WHERE r.name = d.name)
+),
+{p}kept_refs AS (
+  SELECT r.* FROM {p}frefs r
+  WHERE EXISTS (SELECT 1 FROM {p}fdefs d WHERE d.name = r.name)
+),
+{p}filtered AS (SELECT * FROM {p}kept_defs UNION ALL SELECT * FROM {p}kept_refs),
+{p}refcnt AS (
+  SELECT url AS src_url, name, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM {p}kept_refs GROUP BY url, name
+),
+{p}ddist AS (SELECT DISTINCT url AS dst_url, name FROM {p}kept_defs),
+{p}edges AS (
+  SELECT r.src_url, d.dst_url, r.name, r.weight
+  FROM {p}refcnt r JOIN {p}ddist d ON r.name = d.name
+  WHERE r.src_url <> d.dst_url
+),
+{p}defcnt AS (SELECT url, COUNT(*) AS def_count FROM {p}kept_defs GROUP BY url),
+{p}rel_in AS (
+  SELECT e.dst_url AS page, e.src_url AS other,
+         GREATEST(CAST(FLOOR(e.weight / dc.def_count) AS BIGINT), 1) AS w
+  FROM {p}edges e JOIN {p}defcnt dc ON e.dst_url = dc.url
+),
+{p}rel_out AS (SELECT src_url AS page, dst_url AS other, weight AS w FROM {p}edges),
+{p}related AS (
+  SELECT page, other, CAST(SUM(w) AS BIGINT) AS score
+  FROM (SELECT * FROM {p}rel_in UNION ALL SELECT * FROM {p}rel_out) u
+  GROUP BY page, other HAVING SUM(w) > 0
+)"""
+
+
+KG = "WITH " + _kg_ctes().lstrip()
+
+EVIDENCE_CTES = """
+evidence AS (
+  SELECT DISTINCT 'u://' || CAST(user_id AS VARCHAR) AS url,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS evidence_id,
+         date_trunc('day', ts) AS ts
+  FROM events
+),
+anchor AS (SELECT MAX(ts) AS mx FROM evidence),
+decayed AS (
+  SELECT url, evidence_id,
+         POWER(2.0, -(EPOCH(a.mx) - EPOCH(ts)) / 86400.0 / 10.0) AS w
+  FROM evidence, anchor a
+)"""
+
+USCORE_CTES = """
+uscore AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+)"""
+
+SHINGLE_CTES = """
+sh_tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents WHERE doc_id < {limit}
+),
+sh_tok2 AS (SELECT * FROM sh_tok WHERE w <> ''),
+shingles AS (
+  SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle FROM (
+    SELECT doc_id, w,
+           LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM sh_tok2
+  ) WHERE w3 IS NOT NULL
+)"""
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["u1_mentions"] = KG + f"""
+SELECT url, name, kind, pos, start_byte, end_byte
+FROM mentions WHERE {DOCN.format(col='url')} < 50
+"""
+
+ORACLES["f7_pointless_counts"] = KG + """
+SELECT url, kind, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY url, kind
+"""
+
+ORACLES["a3_idf"] = KG + """
+SELECT name, CAST(COUNT(DISTINCT url) AS BIGINT) AS df,
+       ROUND(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                / COUNT(DISTINCT url)) + 1.0, 6) AS idf
+FROM kept_defs GROUP BY name
+"""
+
+ORACLES["j1_link_exact"] = KG + f"""
+SELECT r.url AS ref_url, d.url AS def_url, r.name, r.start_byte
+FROM kept_refs r JOIN kept_defs d ON r.name = d.name
+WHERE r.url <> d.url AND {DOCN.format(col='r.url')} < 5
+"""
+
+ORACLES["j1_candidate_counts"] = KG + """
+SELECT r.url AS ref_url, r.name, CAST(COUNT(DISTINCT d.url) AS BIGINT) AS n_defs
+FROM kept_refs r
+JOIN (SELECT DISTINCT url, name FROM kept_defs) d ON r.name = d.name
+WHERE r.url <> d.url GROUP BY r.url, r.name
+"""
+
+ORACLES["j2_link_basename"] = KG + f"""
+SELECT r.url AS ref_url, d.qualified_name, d.url AS def_url
+FROM (SELECT DISTINCT url, name FROM kept_refs
+      WHERE {DOCN.format(col='url')} < 5) r
+JOIN (SELECT DISTINCT url, source || '.' || name AS qualified_name, name
+      FROM kept_defs) d
+  ON r.name = d.name
+WHERE r.url <> d.url
+"""
+
+ORACLES["a8_edges"] = KG + f"""
+SELECT src_url, dst_url, CAST(SUM(weight) AS BIGINT) AS weight
+FROM edges WHERE {DOCN.format(col='src_url')} < 10
+GROUP BY src_url, dst_url
+"""
+
+ORACLES["a9_related_pages"] = KG + f"""
+SELECT page, other, score FROM related WHERE {DOCN.format(col='page')} < 10
+"""
+
+ORACLES["w8_topk_neighbors"] = KG + f"""
+SELECT page, other, score, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT page, other, score,
+         ROW_NUMBER() OVER (PARTITION BY page ORDER BY score DESC, other ASC) AS rnk
+  FROM related WHERE {DOCN.format(col='page')} < 20
+) WHERE rnk <= 5
+"""
+
+ORACLES["j7_trigram_fallback"] = KG + """,
+tri AS (
+  SELECT url, name || ' ' || w2 || ' ' || w3 AS name3, kind FROM (
+    SELECT url, name, kind,
+           LEAD(name, 1) OVER (PARTITION BY url ORDER BY pos) AS w2,
+           LEAD(name, 2) OVER (PARTITION BY url ORDER BY pos) AS w3
+    FROM mentions
+  ) WHERE w3 IS NOT NULL
+),
+tdefs AS (SELECT DISTINCT url, name3 AS name FROM tri WHERE kind = 'DEF'),
+trefs AS (SELECT DISTINCT url, name3 AS name FROM tri WHERE kind = 'REF'),
+uniq AS (
+  SELECT name, MIN(url) AS def_url FROM tdefs
+  GROUP BY name HAVING COUNT(DISTINCT url) = 1
+)
+SELECT DISTINCT u.name, u.def_url, r.url AS ref_url
+FROM uniq u JOIN trefs r ON u.name = r.name
+"""
+
+ORACLES["triples_extract"] = KG + f""",
+m25 AS (SELECT * FROM mentions WHERE {DOCN.format(col='url')} < 25),
+heads AS (
+  SELECT url, name AS subj FROM (
+    SELECT url, name, ROW_NUMBER() OVER (PARTITION BY url ORDER BY pos) AS rn
+    FROM m25
+  ) WHERE rn = 1
+),
+objs AS (
+  SELECT url, name AS obj, MIN(start_byte) AS start_byte
+  FROM m25 WHERE length(name) > 3 GROUP BY url, name
+)
+SELECT h.subj, 'mentions' AS pred, o.obj, o.url, o.start_byte
+FROM objs o JOIN heads h ON o.url = h.url WHERE o.obj <> h.subj
+"""
+
+ORACLES["so1_snapshot_diff"] = (
+    "WITH "
+    + _kg_ctes("old_", "doc_id < (SELECT COUNT(*) // 2 FROM documents)").lstrip()
+    + ","
+    + _kg_ctes("new_")
+    + f"""
+SELECT COALESCE(o.page, n.page) AS page, COALESCE(o.other, n.other) AS other,
+       CASE WHEN o.page IS NULL THEN 'ADDED'
+            WHEN n.page IS NULL THEN 'DELETED'
+            ELSE 'MODIFIED' END AS state
+FROM (SELECT DISTINCT page, other FROM old_related
+      WHERE {DOCN.format(col='page')} < 5) o
+FULL OUTER JOIN
+     (SELECT DISTINCT page, other FROM new_related
+      WHERE {DOCN.format(col='page')} < 5) n
+  ON o.page = n.page AND o.other = n.other
+"""
+)
+
+ORACLES["s5_dense_export"] = KG + f""",
+rel5 AS (
+  SELECT * FROM related
+  WHERE {DOCN.format(col='page')} < 5 AND {DOCN.format(col='other')} < 5
+),
+urls AS (SELECT page AS url FROM rel5 UNION SELECT other FROM rel5),
+nodes AS (
+  SELECT url, CAST(DENSE_RANK() OVER (ORDER BY url) - 1 AS BIGINT) AS id FROM urls
+)
+SELECT ns.id AS src, nd.id AS dst, r.score
+FROM rel5 r JOIN nodes ns ON r.page = ns.url JOIN nodes nd ON r.other = nd.url
+"""
+
+ORACLES["s6_source_matrix"] = KG + """
+SELECT pa.source AS source_a, pb.source AS source_b,
+       CAST(SUM(r.score) AS BIGINT) AS score
+FROM related r
+JOIN pages pa ON r.page = pa.url
+JOIN pages pb ON r.other = pb.url
+GROUP BY pa.source, pb.source
+"""
+
+ORACLES["f8_valid_evidence"] = "WITH" + EVIDENCE_CTES + """
+SELECT s.evidence_id, s.n_urls FROM (
+  SELECT evidence_id, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+  FROM evidence GROUP BY evidence_id
+) s
+WHERE s.n_urls < CAST(FLOOR((SELECT COUNT(DISTINCT url) FROM evidence) * 0.9) AS BIGINT)
+"""
+
+ORACLES["a4_decayed_cardinality"] = "WITH" + EVIDENCE_CTES + """
+SELECT url, ROUND(SUM(w), 6) AS card FROM decayed GROUP BY url
+"""
+
+ORACLES["j5_jaccard_pairs"] = "WITH" + EVIDENCE_CTES + f""",
+pairs AS (
+  SELECT a1.url AS url_a, b.url AS url_b, SUM(a1.w) AS inter
+  FROM decayed a1 JOIN evidence b ON a1.evidence_id = b.evidence_id
+  WHERE a1.url <> b.url AND {DOCN.format(col='a1.url')} < 20
+  GROUP BY 1, 2
+),
+card AS (SELECT url, SUM(w) AS card FROM decayed GROUP BY url)
+SELECT p.url_a, p.url_b, ROUND(p.inter, 6) AS inter,
+       ROUND(CASE WHEN ca.card + cb.card - p.inter > 0
+                  THEN p.inter / (ca.card + cb.card - p.inter)
+                  ELSE 0 END, 6) AS jaccard
+FROM pairs p
+JOIN card ca ON p.url_a = ca.url
+JOIN card cb ON p.url_b = cb.url
+"""
+
+ORACLES["w1_knee_cutoffs"] = "WITH" + USCORE_CTES + """,
+ds AS (SELECT DISTINCT user_id, s FROM uscore),
+ranked AS (
+  SELECT user_id, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s DESC) AS BIGINT) - 1 AS i
+  FROM ds
+),
+head AS (SELECT * FROM ranked WHERE i < 12),
+stats AS (
+  SELECT user_id, s, i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         MAX(s) OVER (PARTITION BY user_id) AS top,
+         MIN(s) OVER (PARTITION BY user_id) AS last,
+         LAG(s) OVER (PARTITION BY user_id ORDER BY s DESC) AS prev
+  FROM head
+),
+knee0 AS (
+  SELECT *,
+    CASE WHEN n <= 2 OR top <= 0 THEN NULL
+         ELSE (1.0 + (CAST(last AS DOUBLE) / top - 1.0)
+               * (CAST(i AS DOUBLE) / (n - 1))) - CAST(s AS DOUBLE) / top
+    END AS dist,
+    CASE WHEN prev IS NOT NULL AND prev > 0
+         THEN (CAST(prev AS DOUBLE) - s) / prev END AS drp
+  FROM stats
+),
+knee1 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dist DESC NULLS LAST, i ASC) AS knee_rn,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY drp DESC NULLS LAST, i ASC) AS drop_rn
+  FROM knee0
+),
+agg AS (
+  SELECT user_id, MAX(n) AS n, MAX(top) AS top, MIN(s) AS last_s,
+         MAX(CASE WHEN i = 0 THEN s END) AS first_s,
+         MAX(CASE WHEN knee_rn = 1 AND dist IS NOT NULL THEN s END) AS knee_raw,
+         MAX(CASE WHEN drop_rn = 1 AND drp IS NOT NULL THEN prev END) AS drop_raw
+  FROM knee1 GROUP BY user_id
+)
+SELECT user_id,
+  CAST(CASE WHEN n <= 2 THEN last_s WHEN top <= 0 THEN first_s ELSE knee_raw END AS BIGINT) AS knee_cutoff,
+  CAST(COALESCE(drop_raw, first_s) AS BIGINT) AS max_drop_cutoff,
+  CAST(GREATEST(
+    CASE WHEN n <= 2 THEN last_s WHEN top <= 0 THEN first_s ELSE knee_raw END,
+    COALESCE(drop_raw, first_s)) AS BIGINT) AS cutoff
+FROM agg
+"""
+
+ORACLES["w6_entropy_zscore"] = "WITH" + USCORE_CTES + """,
+base AS (SELECT user_id, day, CAST(s AS DOUBLE) AS score FROM uscore),
+stats AS (
+  SELECT user_id, day, score,
+         SUM(score) OVER (PARTITION BY user_id) AS gsum,
+         COUNT(*) OVER (PARTITION BY user_id) AS gcnt,
+         AVG(score) OVER (PARTITION BY user_id) AS gmean,
+         COALESCE(STDDEV_POP(score) OVER (PARTITION BY user_id), 0) AS gstd
+  FROM base
+),
+ent AS (
+  SELECT *, SUM(CASE WHEN score / gsum > 0
+                     THEN -(score / gsum) * LN(score / gsum) ELSE 0 END)
+            OVER (PARTITION BY user_id) AS entropy
+  FROM stats
+)
+SELECT user_id, day,
+  ROUND(CASE WHEN gcnt > 1 AND gsum > 0 THEN
+    (CASE WHEN gcnt > 2 AND score < gmean + 0.5 * gstd THEN score * 0.1
+          ELSE score END) * EXP(-entropy)
+  ELSE score END, 6) AS adj_score
+FROM ent
+"""
+
+ORACLES["x_scalar_suite"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  lower(string_split('doc://' || CAST(doc_id AS VARCHAR) || '/index.html', '.')[-1]) AS ext,
+  string_split('web.' || source || '.' || lang, '.')[-1] AS base,
+  ends_with('web.' || source || '.' || lang, '.' || lang) AS is_suffix,
+  'doc://' || CAST(doc_id AS VARCHAR) || ':' || source || ':DEF:' || CAST(n_chars AS VARCHAR) AS symbol_id,
+  CAST(('0x' || substring(md5('doc://' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS url_hash,
+  ROUND(POWER(2.0, -n_chars / 365.0), 6) AS decay
+FROM documents WHERE doc_id < 100
+"""
+
+ORACLES["dd_exact_dups"] = """
+SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+ORACLES["dd_ngram_jaccard"] = "WITH" + SHINGLE_CTES.format(limit=60) + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       ROUND(i.inter / (na.n + nb.n - i.inter), 6) AS jacc
+FROM inter i
+JOIN sizes na ON i.doc_a = na.doc_id
+JOIN sizes nb ON i.doc_b = nb.doc_id
+WHERE i.inter / (na.n + nb.n - i.inter) >= 0.2
+"""
+
+ORACLES["dd_minhash_lsh"] = "WITH" + SHINGLE_CTES.format(limit=100) + """,
+perms AS (SELECT CAST(unnest(range(16)) AS INT) AS p),
+sig AS (
+  SELECT doc_id, p,
+         MIN(CAST(('0x' || substring(md5(shingle || '#' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
+  FROM shingles, perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(p // 4 AS INT) AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p) AS band_key
+  FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+"""
+
+ORACLES["dd_simhash"] = """
+WITH sim_tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 100
+),
+sim_tok2 AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM sim_tok WHERE w <> ''
+),
+bits AS (SELECT CAST(unnest(range(32)) AS INT) AS b),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM sim_tok2, bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+ORACLES["tq_token_stats"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+       ROUND(AVG(length(w)), 6) AS avg_len
+FROM toks WHERE w <> '' GROUP BY doc_id
+"""
+
+ORACLES["tq_quality"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(SUM(CASE WHEN w IN ('the','a','of','to','and','in') THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS stopword_ratio,
+  ROUND(COUNT(DISTINCT w) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr,
+  ROUND(AVG(length(w)), 6) AS avg_word_len
+FROM toks WHERE w <> '' GROUP BY doc_id
+"""
+
+ORACLES["tq_langid"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    SUM(CASE WHEN w IN ('the','a','of','to','and','in') THEN 1 ELSE 0 END)
+      / CAST(COUNT(*) AS DOUBLE) AS stopword_ratio,
+    COUNT(DISTINCT w) / CAST(COUNT(*) AS DOUBLE) AS ttr
+  FROM toks WHERE w <> '' GROUP BY doc_id
+)
+SELECT q.doc_id,
+  CASE WHEN q.stopword_ratio >= 0.08 THEN 'en'
+       WHEN q.ttr >= 0.6 THEN 'sparse'
+       ELSE 'unk' END AS guess,
+  d.lang
+FROM q JOIN documents d ON q.doc_id = d.doc_id
+"""
+
+ORACLES["tq_fingerprint"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(('0x' || substring(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+ORACLES["ann_cosine_topk"] = """
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+c AS (SELECT vec_id, v FROM emb WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.v, c.v))), 4) AS cos
+  FROM c, q
+)
+SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+ORACLES["ann_lsh_buckets"] = """
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+)
+SELECT
+  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[5] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[7] >= 0 THEN '1' ELSE '0' END ||
+   CASE WHEN v[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  ROUND(AVG(label), 6) AS avg_label
+FROM emb GROUP BY 1
+"""

@@ -1,0 +1,478 @@
+"""Driver-contract query implementations (SURVEY.md §2 inventory).
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose schema
+and values are mirrored exactly by the DuckDB oracle in
+gossiphs_spark/plans/oracles.py. Conventions for oracle parity:
+
+* every computed integer column is cast to LONG, every float rounded to a
+  fixed precision and cast to DOUBLE — aligning Spark/DuckDB result types;
+* ordering never matters (the driver compares order-insensitively) but
+  ranks/limits are always tie-broken deterministically;
+* probe subsets (doc_id < k) bound detail-row outputs — the full-width
+  variants aggregate instead, so the operator still runs over all rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gossiphs_spark.functions import base_name, md5_long, temporal_decay
+from gossiphs_spark.operators import textmode as tm
+from gossiphs_spark.operators import scoring as sc
+from gossiphs_spark.operators.ranking import group_cutoffs
+from gossiphs_spark.operators.graphops import snapshot_diff
+from gossiphs_spark.sources.testdata import doc_pages, evidence, load_table
+
+N_DOCS_CACHE: dict[str, int] = {}
+
+
+def _ndocs(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in N_DOCS_CACHE:
+        N_DOCS_CACHE[sf_dir] = load_table(spark, sf_dir, "documents").count()
+    return N_DOCS_CACHE[sf_dir]
+
+
+def _doc_num(url):
+    return F.split(url, "//").getItem(1).cast("long")
+
+
+def _mentions(spark, sf_dir):
+    return tm.mentions(doc_pages(spark, sf_dir))
+
+
+def _filtered(spark, sf_dir):
+    return tm.filter_pointless(_mentions(spark, sf_dir), 3)
+
+
+def _defs_refs(spark, sf_dir):
+    fm = _filtered(spark, sf_dir)
+    return fm.filter(F.col("kind") == "DEF"), fm.filter(F.col("kind") == "REF")
+
+
+def _edges(spark, sf_dir):
+    defs, refs = _defs_refs(spark, sf_dir)
+    return tm.edges(defs, refs), defs
+
+
+def _related(spark, sf_dir):
+    e, defs = _edges(spark, sf_dir)
+    return tm.related_pages(e, defs)
+
+
+# ---------------------------------------------------------------- KG core --
+def u1_mentions(spark, sf_dir):
+    m = _mentions(spark, sf_dir).filter(_doc_num(F.col("url")) < 50)
+    return m.select(
+        "url", "name", "kind",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("start_byte").cast("long").alias("start_byte"),
+        F.col("end_byte").cast("long").alias("end_byte"),
+    )
+
+
+def f7_pointless_counts(spark, sf_dir):
+    fm = _filtered(spark, sf_dir)
+    return fm.groupBy("url", "kind").agg(F.count("*").cast("long").alias("n"))
+
+
+def a3_idf(spark, sf_dir):
+    defs, _ = _defs_refs(spark, sf_dir)
+    out = tm.idf(defs, _ndocs(spark, sf_dir))
+    return out.select(
+        "name", F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+    )
+
+
+def j1_link_exact(spark, sf_dir):
+    defs, refs = _defs_refs(spark, sf_dir)
+    links = tm.link_exact(defs, refs.filter(_doc_num(F.col("url")) < 5))
+    return links.select("ref_url", "def_url", "name", F.col("start_byte").cast("long").alias("start_byte"))
+
+
+def j1_candidate_counts(spark, sf_dir):
+    defs, refs = _defs_refs(spark, sf_dir)
+    links = tm.link_exact(defs.select("url", "name").distinct(), refs)
+    return links.groupBy("ref_url", "name").agg(
+        F.countDistinct("def_url").cast("long").alias("n_defs")
+    )
+
+
+def j2_link_basename(spark, sf_dir):
+    defs, refs = _defs_refs(spark, sf_dir)
+    qdefs = defs.select(
+        "url", F.concat_ws(".", "source", "name").alias("qualified_name")
+    ).distinct()
+    probe_refs = (
+        refs.filter(_doc_num(F.col("url")) < 5)
+        .select(F.col("url").alias("ref_url"), "name")
+        .distinct()
+    )
+    out = tm.link_by_base_name(qdefs, probe_refs)
+    return out.select("ref_url", "qualified_name", "def_url")
+
+
+def a8_edges(spark, sf_dir):
+    e, _ = _edges(spark, sf_dir)
+    return (
+        e.filter(_doc_num(F.col("src_url")) < 10)
+        .groupBy("src_url", "dst_url")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+
+
+def a9_related_pages(spark, sf_dir):
+    rel = _related(spark, sf_dir)
+    return rel.filter(_doc_num(F.col("page")) < 10).select(
+        "page", "other", F.col("score").cast("long").alias("score")
+    )
+
+
+def w8_topk_neighbors(spark, sf_dir):
+    rel = _related(spark, sf_dir).filter(_doc_num(F.col("page")) < 20)
+    out = tm.topk_neighbors(rel, 5)
+    return out.select(
+        "page", "other", F.col("score").cast("long").alias("score"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def j7_trigram_fallback(spark, sf_dir):
+    """J7 over trigram entities (rare enough to have unique defs)."""
+    m = _mentions(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("pos")
+    tri = (
+        m.withColumn("w2", F.lead("name", 1).over(w))
+        .withColumn("w3", F.lead("name", 2).over(w))
+        .filter(F.col("w3").isNotNull())
+        .select("url", F.concat_ws(" ", "name", "w2", "w3").alias("name"),
+                F.col("kind"))
+    )
+    defs = tri.filter(F.col("kind") == "DEF").select("url", "name").distinct()
+    refs = tri.filter(F.col("kind") == "REF").select("url", "name").distinct()
+    linked = defs.limit(0).select("name")  # nothing pre-linked in this probe
+    out = tm.unique_def_fallback(defs, refs, linked)
+    return out.select("name", "def_url", "ref_url")
+
+
+def triples_extract(spark, sf_dir):
+    m = _mentions(spark, sf_dir).filter(_doc_num(F.col("url")) < 25)
+    return tm.triples(m, 3).select(
+        "subj", "pred", "obj", "url", F.col("start_byte").cast("long").alias("start_byte")
+    )
+
+
+def so1_snapshot_diff(spark, sf_dir):
+    half = _ndocs(spark, sf_dir) // 2
+    pages = doc_pages(spark, sf_dir)
+    old_pages = pages.filter(_doc_num(F.col("url")) < half)
+
+    def build(p):
+        fm = tm.filter_pointless(tm.mentions(p), 3)
+        d = fm.filter(F.col("kind") == "DEF")
+        r = fm.filter(F.col("kind") == "REF")
+        return tm.related_pages(tm.edges(d, r), d)
+
+    old_rel = build(old_pages).filter(_doc_num(F.col("page")) < 5)
+    new_rel = build(pages).filter(_doc_num(F.col("page")) < 5)
+    return snapshot_diff(old_rel, new_rel)
+
+
+def s5_dense_export(spark, sf_dir):
+    rel = _related(spark, sf_dir).filter(
+        (_doc_num(F.col("page")) < 5) & (_doc_num(F.col("other")) < 5)
+    )
+    urls = (
+        rel.select(F.col("page").alias("url"))
+        .union(rel.select(F.col("other").alias("url")))
+        .distinct()
+    )
+    w = Window.orderBy("url")
+    nodes = urls.withColumn("id", (F.dense_rank().over(w) - 1).cast("long"))
+    src = nodes.select(F.col("url").alias("page"), F.col("id").alias("src"))
+    dst = nodes.select(F.col("url").alias("other"), F.col("id").alias("dst"))
+    return rel.join(src, "page").join(dst, "other").select(
+        "src", "dst", F.col("score").cast("long").alias("score")
+    )
+
+
+def s6_source_matrix(spark, sf_dir):
+    rel = _related(spark, sf_dir)
+    pages = doc_pages(spark, sf_dir).select("url", "source")
+    a = pages.select(F.col("url").alias("page"), F.col("source").alias("source_a"))
+    b = pages.select(F.col("url").alias("other"), F.col("source").alias("source_b"))
+    return (
+        rel.join(a, "page").join(b, "other")
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("score").cast("long").alias("score"))
+    )
+
+
+# ------------------------------------------------- evidence-based scoring --
+def f8_valid_evidence(spark, sf_dir):
+    ev = evidence(spark, sf_dir)
+    total = ev.select("url").distinct().count()
+    kept = sc.valid_evidence(ev, total, ratio=0.9)
+    return kept.groupBy("evidence_id").agg(F.countDistinct("url").cast("long").alias("n_urls"))
+
+
+def a4_decayed_cardinality(spark, sf_dir):
+    ev = evidence(spark, sf_dir)
+    out = sc.decayed_cardinality(ev, half_life_days=10.0)
+    return out.select("url", F.round("card", 6).alias("card"))
+
+
+def j5_jaccard_pairs(spark, sf_dir):
+    ev = evidence(spark, sf_dir)
+    probes = ev.select("url").distinct().filter(
+        F.split("url", "//").getItem(1).cast("long") < 20
+    )
+    inter = sc.pair_intersection(ev, half_life_days=10.0, probes=probes)
+    card = sc.decayed_cardinality(ev, half_life_days=10.0)
+    j = sc.jaccard(inter, card)
+    return j.select(
+        "url_a", "url_b", F.round("inter", 6).alias("inter"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _user_day_scores(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+
+
+def w1_knee_cutoffs(spark, sf_dir):
+    scores = _user_day_scores(spark, sf_dir)
+    return group_cutoffs(scores, ["user_id"], "s", def_limit=12)
+
+
+def w6_entropy_zscore(spark, sf_dir):
+    scores = _user_day_scores(spark, sf_dir).withColumn(
+        "score", F.col("s").cast("double")
+    ).withColumn("has_physical", F.lit(False))
+    adj = sc.entropy_zscore_adjust(scores, ["user_id"], "score", "has_physical")
+    return adj.select("user_id", "day", F.round("score", 6).alias("adj_score"))
+
+
+def x_scalar_suite(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    path = F.concat(url, F.lit("/index.html"))
+    qual = F.concat_ws(".", F.lit("web"), F.col("source"), F.col("lang"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.element_at(F.split(path, r"\."), -1)).alias("ext"),
+        base_name(qual).alias("base"),
+        qual.endswith(F.concat(F.lit("."), F.col("lang"))).alias("is_suffix"),
+        F.concat_ws(":", url, F.col("source"), F.lit("DEF"), F.col("n_chars").cast("string")).alias("symbol_id"),
+        md5_long(url).alias("url_hash"),
+        F.round(F.pow(F.lit(2.0), -F.col("n_chars") / F.lit(365.0)), 6).alias("decay"),
+    )
+
+
+# --------------------------------------------------- training-data ops ----
+def dd_exact_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").cast("long").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(spark, sf_dir, limit):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("w2", F.lead("w", 1).over(w))
+        .withColumn("w3", F.lead("w", 2).over(w))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("shingle"))
+        .distinct()
+    )
+
+
+def dd_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir, 60)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jacc", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jacc") >= 0.2)
+        .select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"),
+                F.round("jacc", 6).alias("jacc"))
+    )
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH banding (U4): 16 perms, 4 bands × 4 rows, md5-based
+    permutations (engine-portable, seeded by the perm index)."""
+    sh = _shingles(spark, sf_dir, 100)
+    perms = spark.range(16).select(F.col("id").cast("int").alias("p"))
+    sig = (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id", "p",
+            md5_long(F.concat_ws("#", "shingle", F.col("p").cast("string"))).alias("h"),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("p") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "sig"))),
+                    lambda x: x["sig"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+def dd_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .withColumn("h", md5_long(F.col("w")))
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .withColumn("vote", F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))
+        ).cast("long").alias("simhash")
+    )
+
+
+def tq_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_distinct"),
+        F.round(F.avg(F.length("w")), 6).alias("avg_len"),
+    )
+
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def tq_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return toks.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count("*"), 6
+        ).alias("stopword_ratio"),
+        F.round(F.countDistinct("w") / F.count("*"), 6).alias("ttr"),
+        F.round(F.avg(F.length("w")), 6).alias("avg_word_len"),
+    )
+
+
+def tq_langid(spark, sf_dir):
+    q = tq_quality(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    guess = (
+        F.when(F.col("stopword_ratio") >= 0.08, F.lit("en"))
+        .when(F.col("ttr") >= 0.6, F.lit("sparse"))
+        .otherwise(F.lit("unk"))
+    )
+    return q.join(d, "doc_id").select("doc_id", guess.alias("guess"), "lang")
+
+
+def tq_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        md5_long(norm).alias("fingerprint"),
+    )
+
+
+# -------------------------------------------------------- similarity ------
+def _emb_double(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    dot = F.aggregate(F.zip_with("q", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate(F.transform("q", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .withColumn("cos", F.round(dot / (nq * nv), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    emb = _emb_double(spark, sf_dir)
+    bucket = F.concat_ws(
+        "",
+        *[F.when(F.element_at("v", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(8)],
+    )
+    return emb.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("label"), 6).alias("avg_label"),
+    )

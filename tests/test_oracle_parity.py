@@ -1,0 +1,91 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+sf0.01, compare row-count, column names, and order-insensitive values.
+
+Float columns are compared to 1e-9 after sorting rows canonically —
+both engines round floats explicitly inside the queries, so equality
+should be exact in practice.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", list(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    ores = ddb.sql(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+
+    assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
+
+    sc = canon(srows, list(range(len(scols))))
+    oc = canon(orows, list(range(len(ocols))))
+    n_bad = 0
+    for a, b in zip(sc, oc):
+        if a != b:
+            eq = len(a) == len(b) and all(
+                (
+                    isinstance(x, float)
+                    and isinstance(y, float)
+                    and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                )
+                or x == y
+                for x, y in zip(a, b)
+            )
+            if not eq:
+                n_bad += 1
+                if n_bad <= 3:
+                    print(f"{name} MISMATCH spark={a} oracle={b}")
+    assert n_bad == 0, f"{name}: {n_bad} mismatched rows"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
