@@ -53,6 +53,8 @@ _QUERY_NAMES = [
     "j5_jaccard_pairs",
     "w1_knee_cutoffs",
     "w6_entropy_zscore",
+    "a13_score_buckets",
+    "a10_file_metadata",
     # scalar suite (§2.7)
     "x_scalar_suite",
     # training-data pipeline ops

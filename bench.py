@@ -1,0 +1,125 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs (1) a representative slice of the driver-contract queries over
+$SPARK_GRAFT_SF_DIR and (2) the KG-construction pipeline (extraction →
+scoring → edges → related) over a deterministically synthesized pages
+corpus scaled to the sf, reporting triples/sec — the BASELINE.json
+headline metric.
+
+    SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+    SPARK_GRAFT_CPUS     default 32
+    BENCH_QUERIES=name1,name2   optional subset override
+
+Scaling evidence (N vs 4N parallelism) is produced by scripts/scaling_bench.py,
+which invokes this pipeline at two core counts and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERY_NAMES = [
+    "u1_mentions",
+    "a3_idf",
+    "j1_candidate_counts",
+    "a8_edges",
+    "a9_related_pages",
+    "w8_topk_neighbors",
+    "triples_extract",
+    "j5_jaccard_pairs",
+    "w1_knee_cutoffs",
+    "w6_entropy_zscore",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_ngram_jaccard",
+    "tq_token_stats",
+    "tq_fingerprint",
+    "ann_cosine_topk",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def pipeline_throughput(spark, sf: float) -> dict:
+    from gossiphs_spark.config import PipelineConfig
+    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.plans.pipeline import build_graph
+
+    n_pages = max(200, int(sf * 20000))
+    pages, evidence, _ = pages_df(spark, n_pages=n_pages, seed=7)
+    pages = pages.repartition(CPUS).cache()
+    pages.count()  # materialize input outside the timed region
+    evidence = evidence.cache()
+    evidence.count()
+
+    t0 = time.time()
+    g = build_graph(spark, pages, evidence, PipelineConfig())
+    n_triples = g.triples.count()
+    n_related = g.related.count()
+    elapsed = time.time() - t0
+    pages.unpersist()
+    evidence.unpersist()
+    return {
+        "kg_pages": n_pages,
+        "kg_triples": n_triples,
+        "kg_related_pairs": n_related,
+        "kg_pipeline_sec": round(elapsed, 3),
+        "triples_per_sec": round(n_triples / elapsed, 1) if elapsed > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    from gossiphs_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="gossiphs_bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else BENCH_QUERY_NAMES
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_of(SF_DIR)
+    extra = pipeline_throughput(spark, sf)
+    total += extra["kg_pipeline_sec"]
+
+    out = {
+        "metric": "total_bench_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Per-partition lineage + idempotent resume (SURVEY.md §2.1 S3 / §4 O4).
+
+Web generalization of the reference's blob-keyed extraction cache
+(/root/reference/src/cache.rs:14-59, used graph.rs:270-290): instead of a
+bincode KV per file, the corpus is split into deterministic url-hash
+buckets; each bucket's triples are committed atomically together with a
+lineage row
+
+    (run_id, stage, bucket, url_min, url_max, warc_ts_watermark,
+     triple_count, committed_at)
+
+A killed run resumes by anti-joining the committed bucket set — already-
+committed buckets are skipped, uncommitted ones recompute (idempotent:
+same input bucket → same output, extraction is pure). On a real cluster
+the sink is an Iceberg table and the commit is a MERGE/snapshot; in this
+sandbox the sink is a parquet directory per bucket with an atomic rename,
+which preserves the same resume semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_FILE = "lineage.jsonl"
+
+
+def bucket_of(url_col, n_buckets: int):
+    """Deterministic bucket assignment — crc32, never rand(): retry/resume
+    must land every url in the same bucket."""
+    return (F.crc32(url_col.cast("string")) % n_buckets).cast("int")
+
+
+def committed_buckets(out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, LINEAGE_FILE)
+    done: set[int] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn write from a killed run — not committed
+                if rec.get("stage") == "triples":
+                    done.add(int(rec["bucket"]))
+    return done
+
+
+def _append_lineage(out_dir: str, rec: dict) -> None:
+    path = os.path.join(out_dir, LINEAGE_FILE)
+    tmp = path + ".tmp"
+    # append via read-modify-rename so a torn write never corrupts history
+    lines = []
+    if os.path.exists(path):
+        with open(path) as f:
+            lines = f.readlines()
+    lines.append(json.dumps(rec, default=str) + "\n")
+    with open(tmp, "w") as f:
+        f.writelines(lines)
+    os.replace(tmp, path)
+
+
+def materialize_triples(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 8,
+    build_triples=None,
+    fail_after: int | None = None,
+) -> list[int]:
+    """Extract + commit triples bucket-by-bucket with lineage; resume-safe.
+
+    ``build_triples(pages_subset) -> DataFrame`` defaults to the extraction
+    triples of plans/pipeline.py. ``fail_after`` kills the run after N
+    bucket commits (test hook for the kill/resume property).
+    Returns the list of buckets committed by THIS invocation.
+    """
+    if build_triples is None:
+        from gossiphs_spark.operators.extract import extract_mentions
+
+        def build_triples(p):
+            m = extract_mentions(p)
+            titles = m.filter(F.col("kind") == "DEF").select(
+                "url", F.col("name").alias("subj")
+            )
+            objs = (
+                m.filter(F.col("kind").isin("REF", "IMPORT"))
+                .groupBy(
+                    "url",
+                    F.col("name").alias("obj"),
+                    F.when(F.col("kind") == "REF", F.lit("mentions"))
+                    .otherwise(F.lit("links_to"))
+                    .alias("pred"),
+                )
+                .agg(F.min("start_byte").alias("start_byte"))
+            )
+            return (
+                objs.join(titles, "url")
+                .filter(F.col("obj") != F.col("subj"))
+                .select("subj", "pred", "obj", "url", "start_byte")
+            )
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = committed_buckets(out_dir)
+    pages_b = pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
+
+    committed_now: list[int] = []
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        subset = pages_b.filter(F.col("_bucket") == b).drop("_bucket")
+        tri = build_triples(subset)
+        stats = subset.agg(
+            F.min("url").alias("url_min"),
+            F.max("url").alias("url_max"),
+            F.max("warc_ts").alias("wm"),
+        ).collect()[0]
+
+        bucket_path = os.path.join(out_dir, f"triples_bucket={b:05d}")
+        tmp_path = bucket_path + ".inprogress"
+        tri.write.mode("overwrite").parquet(tmp_path)
+        n = spark.read.parquet(tmp_path).count()
+        if os.path.exists(bucket_path):
+            import shutil
+
+            shutil.rmtree(bucket_path)
+        os.replace(tmp_path, bucket_path)  # atomic commit of the data
+        _append_lineage(
+            out_dir,
+            {
+                "run_id": run_id,
+                "stage": "triples",
+                "bucket": b,
+                "url_min": stats["url_min"],
+                "url_max": stats["url_max"],
+                "warc_ts_watermark": stats["wm"],
+                "triple_count": n,
+                "committed_at": time.time(),
+            },
+        )
+        committed_now.append(b)
+        if fail_after is not None and len(committed_now) >= fail_after:
+            raise RuntimeError("simulated kill after %d buckets" % fail_after)
+    return committed_now
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples_bucket=*"))

@@ -1,0 +1,185 @@
+"""U1 — the Arrow-batched extraction kernel (SURVEY.md §2.9).
+
+Web analog of the reference's tree-sitter extractor
+(/root/reference/src/extractor.rs:53-301): a pure function of the page
+bytes that emits typed mentions — DEF (canonical entity), REF (mention),
+IMPORT (outlink), NAMESPACE (boilerplate section) — with byte-offset
+identity anchors, wrapped in ``mapInPandas`` so Python only ever touches
+Arrow record batches (never row-at-a-time).
+
+Determinism contract (BASELINE.md "per-row invariant"): ``extract_text``
+and ``extract_page`` are pure functions of (url, html); the extracted text
+is byte-identical per url across runs/partitionings — pinned by golden
+tests in tests/test_extract.py.
+
+Grammar (regex-based; the reference's per-language tree-sitter rule files
+src/rule.rs:42-252 play this role for code):
+  <title>X</title>                  → DEF  (the page's canonical entity)
+  <a href="U">                      → IMPORT (outlink, quote-trimmed — F12)
+  <nav>/<footer>/<script>/<style>   → NAMESPACE block (and excluded from text)
+  Capitalized tokens in body text   → REF  (entity mentions), possibly
+                                      dot-qualified (Sol.Albedo)
+Offsets are char offsets into the decoded html (the corpus is UTF-8; the
+reference's byte offsets serve the same identity-anchor role,
+src/symbol.rs:130-132).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTIONS_SCHEMA = (
+    "url string, name string, kind string, start_byte long, end_byte long, "
+    "start_row long, start_col long, end_row long, end_col long"
+)
+
+EXTRACTED_SCHEMA = "url string, warc_ts timestamp, text string"
+
+_BLOCK_RE = re.compile(
+    r"<(nav|footer|script|style)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.DOTALL | re.IGNORECASE)
+_HREF_RE = re.compile(r"""<a\s[^>]*href=(["'])(.*?)\1""", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]*>")
+_HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head>", re.DOTALL | re.IGNORECASE)
+_ENTITY_RE = re.compile(r"\b[A-Z][A-Za-z]+(?:\.[A-Z][A-Za-z]+)*\b")
+
+
+def extract_text(html: bytes) -> str | None:
+    """Boilerplate-stripped text — pure, deterministic, byte-identical per
+    input. Non-UTF-8 pages are skipped (S2 analog, ref graph.rs:279-285).
+    Tags/blocks are replaced by a single space each; whitespace is NOT
+    collapsed (keeps the function trivially auditable)."""
+    try:
+        s = html.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return None
+    s = _BLOCK_RE.sub(" ", s)
+    s = _HEAD_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    return s
+
+
+def _row_col(s: str, pos: int) -> tuple[int, int]:
+    row = s.count("\n", 0, pos)
+    col = pos - (s.rfind("\n", 0, pos) + 1)
+    return row, col
+
+
+def extract_page(url: str, html: bytes) -> list[tuple]:
+    """One page → mention rows. Pure; reused by the golden tests."""
+    try:
+        s = html.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+    blocked: list[tuple[int, int]] = []
+
+    for m in _BLOCK_RE.finditer(s):
+        blocked.append(m.span())
+        tag = m.group(1).lower()
+        if tag in ("nav", "footer"):
+            r0, c0 = _row_col(s, m.start())
+            r1, c1 = _row_col(s, m.end())
+            out.append((url, tag, "NAMESPACE", m.start(), m.end(), r0, c0, r1, c1))
+
+    title_span = None
+    tm = _TITLE_RE.search(s)
+    if tm:
+        name = tm.group(1).strip()
+        if name:
+            title_span = tm.span(1)
+            r0, c0 = _row_col(s, tm.start(1))
+            r1, c1 = _row_col(s, tm.end(1))
+            out.append((url, name, "DEF", tm.start(1), tm.end(1), r0, c0, r1, c1))
+
+    for hm in _HREF_RE.finditer(s):
+        link = hm.group(2).strip("\"'<>")  # F12 quote/bracket trim
+        if link:
+            r0, c0 = _row_col(s, hm.start(2))
+            r1, c1 = _row_col(s, hm.end(2))
+            out.append((url, link, "IMPORT", hm.start(2), hm.end(2), r0, c0, r1, c1))
+
+    head_span = None
+    hm2 = _HEAD_RE.search(s)
+    if hm2:
+        head_span = hm2.span()
+
+    def in_blocked(a: int, b: int) -> bool:
+        if title_span and a >= title_span[0] and b <= title_span[1]:
+            return True
+        if head_span and a >= head_span[0] and b <= head_span[1]:
+            return True
+        for (x, y) in blocked:
+            if a < y and b > x:
+                return True
+        return False
+
+    for em in _ENTITY_RE.finditer(s):
+        a, b = em.span()
+        if in_blocked(a, b):
+            continue
+        # skip matches inside tags (attribute values, tag names)
+        lt = s.rfind("<", 0, a)
+        gt = s.rfind(">", 0, a)
+        if lt > gt:
+            continue
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, em.group(0), "REF", a, b, r0, c0, r1, c1))
+    return out
+
+
+def extract_mentions(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → mentions via Arrow-batched mapInPandas.
+
+    Embarrassingly parallel over page partitions — the Spark analog of the
+    reference's rayon par_iter (graph.rs:217). Column pruning keeps only
+    (url, html) flowing into Python."""
+    cols = ["url", "html"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [
+            "url", "name", "kind", "start_byte", "end_byte",
+            "start_row", "start_col", "end_row", "end_col",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                rows.extend(extract_page(url, html))
+            yield pd.DataFrame(rows, columns=names)
+
+    return pages.select(*cols).mapInPandas(run, MENTIONS_SCHEMA)
+
+
+def extract_texts(pages: DataFrame) -> DataFrame:
+    """pages → extracted(url, warc_ts, text); the byte-identical text table."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "text": [extract_text(h) for h in pdf["html"]],
+                }
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+def page_symbol_limit(mentions: DataFrame, limit: int = 4096) -> DataFrame:
+    """F5: drop whole pages yielding >= limit mentions (ref graph.rs:293)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url")
+    return (
+        mentions.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") < limit)
+        .drop("_n")
+    )

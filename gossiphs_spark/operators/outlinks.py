@@ -1,0 +1,81 @@
+"""U3/J3 — outlink resolution (SURVEY.md §2.3 J3, §2.9 U3).
+
+Web form of the reference's import-path matching heuristics
+(/root/reference/src/graph.rs:51-95): resolve each outlink string against
+its page url, emit a canonical key, then link outlink↔page with an
+EQUI-join on the canonical key — never a theta/cross join (the reference
+runs its heuristic per candidate pair; at corpus scale that is quadratic,
+so we normalize first and join second).
+
+Resolution ladder (mirrors the reference's 3 steps):
+  1. absolute http(s) url           → as-is (≅ package/absolute import)
+  2. relative ./ ../ or bare path   → resolved against the page url's
+                                      directory (≅ relative import)
+  3. scheme-relative //host/path    → https: prefixed
+
+The resolver is a vectorized pandas UDF (string-parsing loop Python-side,
+Arrow-batched) — the residual fuzzy path the built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+@pandas_udf(StringType())
+def resolve_url(base: pd.Series, link: pd.Series) -> pd.Series:
+    def one(b: str, l: str) -> str | None:
+        if l is None:
+            return None
+        l = l.strip().strip("\"'<>")
+        if not l:
+            return None
+        try:
+            return urljoin(b or "", l)
+        except ValueError:
+            return None
+
+    return pd.Series([one(b, l) for b, l in zip(base, link)])
+
+
+def resolve_outlinks(imports: DataFrame) -> DataFrame:
+    """imports(url, name=raw link) → (url, target) with canonical targets."""
+    return imports.select(
+        "url", resolve_url(F.col("url"), F.col("name")).alias("target")
+    ).filter(F.col("target").isNotNull())
+
+
+def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame) -> DataFrame:
+    """J3 as an equi-join: outlink target == page url (exact), plus the
+    same-host fallback as a second equi-join on registrable host —
+    mirroring the reference's exact-then-package-suffix ladder."""
+    resolved = resolve_outlinks(imports)
+    p = pages.select(F.col("url").alias("target")).distinct()
+    exact = resolved.join(p, "target").select(
+        F.col("url").alias("src_url"), F.col("target").alias("dst_url"),
+        F.lit("exact").alias("match_kind"),
+    )
+    host = lambda c: F.regexp_extract(c, r"^[a-z]+://([^/]+)", 1)  # noqa: E731
+    unmatched = resolved.join(p, "target", "left_anti")
+    by_host = (
+        unmatched.withColumn("host", host(F.col("target")))
+        .filter(F.col("host") != "")
+        .join(
+            pages.select(F.col("url").alias("dst_url"))
+            .withColumn("host", host(F.col("dst_url")))
+            .distinct(),
+            "host",
+        )
+        .select(
+            F.col("url").alias("src_url"), "dst_url",
+            F.lit("same_host").alias("match_kind"),
+        )
+    )
+    return exact.unionByName(by_host)

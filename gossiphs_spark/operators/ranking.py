@@ -98,6 +98,84 @@ def group_cutoffs(df: DataFrame, group_cols: list[str], score_col: str,
     )
 
 
+def attach_cutoffs(df: DataFrame, group_cols: list[str], score_col: str,
+                   id_cols: list[str], def_limit: int = 12) -> DataFrame:
+    """Join-free variant of :func:`group_cutoffs`: computes the same
+    knee/max-drop cutoff as a window expression attached directly to every
+    row. All windows share the group-key hash partitioning (one exchange,
+    several sorts) — no distinct subquery, no per-group aggregate table to
+    join or broadcast back, which matters because the cutoff table has one
+    row per REF group (unboundable at corpus scale).
+
+    ``id_cols`` provide a deterministic intra-score ordering (marker-row
+    selection). Adds a ``cutoff`` column; semantics identical to
+    group_cutoffs (property-tested against it).
+    """
+    s = F.col(score_col)
+    wg = Window.partitionBy(*group_cols)
+    w_rank = Window.partitionBy(*group_cols).orderBy(F.desc(score_col))
+    w_mrk = Window.partitionBy(*group_cols, score_col).orderBy(*id_cols)
+    # immediate predecessor in the distinct-desc stream = min of strictly
+    # greater score values (value-range window)
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(score_col).cast("long"))
+        .rangeBetween(1, 1 << 60)
+    )
+    k = max(def_limit, 2)
+
+    df = (
+        df.withColumn("_i", F.dense_rank().over(w_rank) - 1)
+        .withColumn("_mrk", F.row_number().over(w_mrk) == 1)
+        .withColumn("_prev", F.min(score_col).over(w_prev))
+    )
+    head = F.col("_mrk") & (F.col("_i") < k)
+    df = (
+        df.withColumn("_n", F.sum(head.cast("long")).over(wg))
+        .withColumn("_top", F.max(score_col).over(wg))
+        .withColumn("_last", F.min(F.when(head, s)).over(wg))
+    )
+    x = F.col("_i") / (F.col("_n") - 1)
+    y = s / F.col("_top")
+    y_last = F.col("_last") / F.col("_top")
+    dist = (F.lit(1.0) + (y_last - F.lit(1.0)) * x) - y
+    df = df.withColumn(
+        "_dist",
+        F.when(head & (F.col("_n") > 2) & (F.col("_top") > 0), dist),
+    ).withColumn(
+        "_drop",
+        F.when(
+            head & (F.col("_i") >= 1) & (F.col("_prev") > 0),
+            (F.col("_prev") - s) / F.col("_prev"),
+        ),
+    )
+    w_knee = Window.partitionBy(*group_cols).orderBy(
+        F.desc_nulls_last("_dist"), F.asc("_i")
+    )
+    w_drop = Window.partitionBy(*group_cols).orderBy(
+        F.desc_nulls_last("_drop"), F.asc("_i")
+    )
+    df = df.withColumn("_knee_rn", F.row_number().over(w_knee)).withColumn(
+        "_drop_rn", F.row_number().over(w_drop)
+    )
+    knee_raw = F.max(
+        F.when((F.col("_knee_rn") == 1) & F.col("_dist").isNotNull(), s)
+    ).over(wg)
+    drop_raw = F.max(
+        F.when((F.col("_drop_rn") == 1) & F.col("_drop").isNotNull(), F.col("_prev"))
+    ).over(wg)
+    knee = (
+        F.when(F.col("_n") <= 2, F.col("_last"))
+        .when(F.col("_top") <= 0, F.col("_top"))
+        .otherwise(knee_raw)
+    )
+    cutoff = F.greatest(knee, F.coalesce(drop_raw, F.col("_top")))
+    return df.withColumn("cutoff", cutoff.cast("long")).drop(
+        "_i", "_mrk", "_prev", "_n", "_top", "_last", "_dist", "_drop",
+        "_knee_rn", "_drop_rn",
+    )
+
+
 def prune_candidates(scored: DataFrame, group_cols: list[str], score_col: str,
                      id_col: str, def_limit: int = 12, top_n: int = 0) -> DataFrame:
     """W1: per-group candidate pruning (ref graph.rs:743-795).

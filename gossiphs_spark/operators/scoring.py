@@ -114,8 +114,14 @@ def entropy_zscore_adjust(scored: DataFrame, group_cols: list[str],
         .withColumn("grp_mean", F.avg(s).over(wg))
         .withColumn("grp_std", F.coalesce(F.stddev_pop(s).over(wg), F.lit(0.0)))
     )
+    # guard the division: the reference only enters this branch when the
+    # group sum is positive (ref graph.rs:712-713); ANSI mode would raise
+    # DIVIDE_BY_ZERO otherwise
     p = s / F.col("grp_sum")
-    ent_term = F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    ent_term = F.when(
+        F.col("grp_sum") > 0,
+        F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
     df2 = df2.withColumn("entropy", F.sum(ent_term).over(wg))
     active = (F.col("grp_cnt") > 1) & (F.col("grp_sum") > 0)
     weak = (

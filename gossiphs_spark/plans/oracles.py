@@ -362,6 +362,44 @@ SELECT user_id, day,
 FROM ent
 """
 
+ORACLES["a13_score_buckets"] = """
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, event_type FROM events
+),
+lab AS (
+  SELECT event_type,
+    CASE WHEN s >= 500 THEN '500+'
+         WHEN s >= 100 THEN '100-500'
+         WHEN s >= 50 THEN '50-100'
+         WHEN s >= 10 THEN '10-50'
+         WHEN s >= 0 THEN '0-10'
+         ELSE NULL END AS bucket
+  FROM scored
+)
+SELECT bucket,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM lab GROUP BY bucket
+"""
+
+ORACLES["a10_file_metadata"] = KG + """,
+names AS (
+  SELECT url, string_agg(name, ',' ORDER BY name) AS name_list
+  FROM (SELECT DISTINCT url, name FROM filtered) GROUP BY url
+)
+SELECT f.url,
+  CAST(SUM(CASE WHEN kind = 'DEF' THEN 1 ELSE 0 END) AS BIGINT) AS n_defs,
+  CAST(SUM(CASE WHEN kind = 'REF' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs,
+  MIN(start_byte) AS first_byte,
+  MAX(end_byte) AS last_byte,
+  CAST(('0x' || substring(md5(MAX(n.name_list)), 1, 15)) AS BIGINT) AS names_sig
+FROM filtered f JOIN names n ON f.url = n.url
+GROUP BY f.url
+"""
+
 ORACLES["x_scalar_suite"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   lower(string_split('doc://' || CAST(doc_id AS VARCHAR) || '/index.html', '.')[-1]) AS ext,

@@ -1,0 +1,365 @@
+"""The scored KG-construction pipeline (north_star flagship).
+
+Composes every stage end-to-end, mirroring Graph::from
+(/root/reference/src/graph.rs:414-834) as ONE Catalyst-planned DAG:
+
+  pages ──U1──> mentions ──F5/F6/F7──> defs/refs/imports
+     evidence ──F8──> valid ──A4──> decayed cardinality
+  refs ⋈ defs (J1 exact + J2 base-name)         → candidates
+  candidates × [A3 idf ⊗ broadcast]
+             × [J3/J4 physical evidence]
+             × [J5/A5/A6 decayed co-occurrence Jaccard]
+             → score = idf·jaccard·10 (+100/+50) / sqrt(ref_count)   (A11)
+             → W6 entropy/z-score → F11 min_score → X8 int bucket
+             → W1 knee/max-drop pruning + def_limit cap
+  kept candidates ──A8──> edges ──J7 fallback──> graph
+  graph ──A9──> related pages ──W4/W8──> queries;  mentions → triples
+
+Scoring works at the (ref_url, ref_name) grain — all occurrences of a
+name in a page share candidates and scores (true in the reference too:
+the loop reads only per-file + global state, graph.rs:620-796) — with an
+``occ`` multiplicity column standing in for the reference's one-edge-per-
+occurrence bookkeeping. This is what turns the reference's sequential
+O(refs × candidates) driver loop into shuffles Spark parallelizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gossiphs_spark.config import PipelineConfig
+from gossiphs_spark.functions import base_name, score_bucket
+from gossiphs_spark.operators.extract import extract_mentions, page_symbol_limit
+from gossiphs_spark.operators.ranking import attach_cutoffs
+from gossiphs_spark.operators.scoring import entropy_zscore_adjust
+from gossiphs_spark.operators.graphops import salted_sum
+
+
+@dataclass
+class GraphTables:
+    mentions: DataFrame
+    candidates: DataFrame   # scored, pruned (ref_url, ref_name, occ, def_url, def_name, bucket)
+    edges: DataFrame        # page-level (src_url, dst_url, weight)
+    related: DataFrame      # related-pages rollup (page, other, score)
+    triples: DataFrame      # (subj, pred, obj, url, start_byte)
+
+
+def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
+    """F7 with the dotted-name paths (ref graph.rs:370-403):
+      DEF kept iff ∃REF: ref.name == def.name  ∨  ref.name ends with '.'+def.name
+      REF kept iff ∃DEF: def.name == ref.name  ∨  base(ref.name) ∈ base(def.names)
+      IMPORT/NAMESPACE always kept; F6 length floor first."""
+    m = m.filter(
+        (F.length("name") > symbol_len_limit)
+        | F.col("kind").isin("IMPORT", "NAMESPACE")
+    )
+    defs = m.filter(F.col("kind") == "DEF")
+    refs = m.filter(F.col("kind") == "REF")
+    rest = m.filter(F.col("kind").isin("IMPORT", "NAMESPACE"))
+
+    ref_names = refs.select("name").distinct()
+    # every dot-suffix of every ref name ("A.B.C" → "B.C", "C")
+    ref_suffixes = (
+        ref_names.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(split(name, '\\\\.'))), "
+                    "i -> array_join(slice(split(name, '\\\\.'), i, 1000), '.'))"
+                )
+            ).alias("name")
+        )
+        .where(F.col("name") != "")
+        .distinct()
+    )
+    def_keep_names = ref_names.union(ref_suffixes).distinct()
+    kept_defs = defs.join(def_keep_names, "name", "left_semi")
+
+    def_names = defs.select("name").distinct()
+    def_base_names = def_names.select(base_name(F.col("name")).alias("base")).distinct()
+    refs_b = refs.withColumn("base", base_name(F.col("name")))
+    kept_refs = (
+        refs_b.join(def_names, "name", "left_semi")
+        .unionByName(
+            refs_b.join(
+                refs_b.select("name").join(def_names, "name", "left_semi"),
+                "name", "left_anti",
+            ).join(def_base_names, "base", "left_semi")
+        )
+        .drop("base")
+    )
+    return kept_defs.unionByName(kept_refs).unionByName(rest)
+
+
+def _candidates(defs: DataFrame, refs: DataFrame) -> DataFrame:
+    """J1 exact + J2 base-name fallback at the (ref_url, ref_name) grain
+    (ref graph.rs:620-645). ``occ`` carries occurrence multiplicity."""
+    ref_groups = refs.groupBy(
+        F.col("url").alias("ref_url"), F.col("name").alias("ref_name")
+    ).agg(F.count("*").alias("occ"))
+
+    d = defs.select(
+        F.col("url").alias("def_url"),
+        F.col("name").alias("def_name"),
+        F.col("start_byte").alias("def_byte"),
+    )
+
+    exact = ref_groups.join(
+        d, F.col("ref_name") == F.col("def_name")
+    ).withColumn("is_exact", F.lit(True))
+
+    exact_names = d.select(F.col("def_name").alias("ref_name")).distinct()
+    base_candidates = (
+        ref_groups.join(exact_names, "ref_name", "left_anti")
+        .unionByName(
+            ref_groups.join(exact_names, "ref_name", "left_semi").filter(
+                F.col("ref_name").contains(".")
+            )
+        )
+        .withColumn("base", base_name(F.col("ref_name")))
+        .join(d, F.col("base") == F.col("def_name"))
+        .drop("base")
+        .withColumn("is_exact", F.lit(False))
+    )
+
+    allc = exact.unionByName(base_candidates)
+    # dedup (ref, def) pairs keeping the exact-match row (ref graph.rs:638-641)
+    w = Window.partitionBy("ref_url", "ref_name", "def_url", "def_name", "def_byte").orderBy(
+        F.desc("is_exact")
+    )
+    return allc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _physical_evidence(cands: DataFrame, imports: DataFrame) -> DataFrame:
+    """J3 import-match + J4 same-host-dir (ref graph.rs:51-101,690-699).
+
+    Web form: an outlink whose (normalized) target equals the def page's
+    url is an explicit import; same host+directory ≅ same package. Both
+    are equi-joins on normalized keys — never a theta/cross join."""
+    imp = imports.select(
+        F.col("url").alias("ref_url"),
+        F.regexp_replace(F.col("name"), "[\"'<>]", "").alias("target"),
+    ).distinct()
+    cands = cands.join(
+        imp.withColumn("imported", F.lit(True)),
+        (cands.ref_url == imp.ref_url) & (cands.def_url == imp.target),
+        "left",
+    ).drop(imp.ref_url).drop("target").fillna({"imported": False})
+    dir_of = lambda c: F.regexp_extract(c, r"^(.*)/", 1)  # noqa: E731
+    return cands.withColumn("same_pkg", dir_of(F.col("ref_url")) == dir_of(F.col("def_url"))).withColumn(
+        "has_physical", F.col("imported") | F.col("same_pkg")
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    evidence: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> GraphTables:
+    # ---- U1 + hygiene -----------------------------------------------------
+    if cfg.exclude_url_regex:
+        pages = pages.filter(~F.regexp_like("url", F.lit(cfg.exclude_url_regex)))  # F2
+    mentions = extract_mentions(pages)
+    mentions = page_symbol_limit(mentions, cfg.symbol_limit)  # F5
+    # The extraction UDF feeds every downstream branch (defs/refs/imports/
+    # idf/triples) — cache it or Arrow extraction re-executes per branch.
+    # The reference extracts exactly once (graph.rs:504-508); so do we.
+    mentions = mentions.cache()
+    fm = filter_pointless_full(mentions, cfg.symbol_len_limit).cache()  # F6+F7
+    defs = fm.filter(F.col("kind") == "DEF")
+    refs = fm.filter(F.col("kind") == "REF")
+    imports = fm.filter(F.col("kind") == "IMPORT")
+
+    n_pages = pages.select("url").distinct().count()
+
+    # ---- evidence prep (F8, A4, A12) — all small aggregates, broadcastable
+    ev = evidence.select("url", "evidence_id", "ts").distinct()
+    sizes = ev.groupBy("evidence_id").agg(F.countDistinct("url").alias("n_urls"))
+    limit = int(n_pages * cfg.commit_size_limit_ratio)
+    ev = ev.join(
+        F.broadcast(sizes.filter(F.col("n_urls") < limit).select("evidence_id")),
+        "evidence_id", "left_semi",
+    ).cache()  # consumed by anchor, cardinality, and the pair-intersection join
+    anchor_row = ev.agg(F.max("ts").alias("mx")).collect()[0]
+    anchor = anchor_row["mx"]
+    if cfg.temporal_decay and anchor is not None:
+        age_days = (
+            F.lit(anchor).cast("timestamp").cast("double") - F.col("ts").cast("double")
+        ) / 86400.0
+        decay_w = F.pow(F.lit(2.0), -age_days / F.lit(cfg.half_life_days))
+    else:
+        decay_w = F.lit(1.0)
+    evd = ev.select("url", "evidence_id", decay_w.alias("w")).cache()
+    card = evd.groupBy("url").agg(F.sum("w").alias("card"))
+
+    # ---- candidates (J1/J2) ----------------------------------------------
+    cands = _candidates(defs, refs)
+    cands = _physical_evidence(cands, imports)
+
+    # ---- co-occurrence restricted to candidate pairs (J5/A5) -------------
+    pairs = cands.select("ref_url", "def_url").distinct()
+    ev_a = evd.select(F.col("url").alias("ref_url"), "evidence_id", "w")
+    ev_b = evd.select(F.col("url").alias("def_url"), "evidence_id")
+    inter = (
+        pairs.join(ev_a, "ref_url")
+        .join(ev_b, ["def_url", "evidence_id"], "left_semi")
+        .groupBy("ref_url", "def_url")
+        .agg(F.sum("w").alias("inter"))
+    )
+
+    # ---- scoring (A3, A6, A11; ref graph.rs:651-707) ---------------------
+    idf = defs.groupBy(F.col("name").alias("def_name")).agg(
+        (F.log(F.lit(float(n_pages)) / F.countDistinct("url")) + F.lit(1.0)).alias("idf")
+    )
+    ref_count = refs.groupBy(F.col("url").alias("def_url")).agg(
+        F.count("*").alias("ref_count")
+    )
+    card_a = card.select(F.col("url").alias("ref_url"), F.col("card").alias("card_a"))
+    card_b = card.select(F.col("url").alias("def_url"), F.col("card").alias("card_b"))
+
+    scored = (
+        cands.join(F.broadcast(idf), "def_name", "left")
+        .join(inter, ["ref_url", "def_url"], "left")
+        .join(F.broadcast(card_a), "ref_url", "left")
+        .join(F.broadcast(card_b), "def_url", "left")
+        .join(F.broadcast(ref_count), "def_url", "left")
+        .fillna({"inter": 0.0, "card_a": 0.0, "card_b": 0.0, "ref_count": 0})
+        .withColumn("idf", F.coalesce(F.col("idf"), F.lit(1.0)))
+    )
+    union_card = F.col("card_a") + F.col("card_b") - F.col("inter")
+    jaccard = F.when(union_card > 0, F.col("inter") / union_card).otherwise(F.lit(0.0))
+    score = F.col("idf") * jaccard * 10.0
+    score = score + F.when(F.col("has_physical"), F.lit(100.0)).otherwise(F.lit(0.0))
+    score = score + F.when(F.col("imported"), F.lit(50.0)).otherwise(F.lit(0.0))
+    score = F.when(
+        F.col("ref_count") > 0, score / F.sqrt(F.col("ref_count"))
+    ).otherwise(score)
+    scored = scored.select(
+        "ref_url", "ref_name", "occ", "def_url", "def_name", "def_byte",
+        "is_exact", "has_physical", score.alias("score"),
+    )
+
+    # ---- W6 entropy/z-score, F11 min_score, X8 bucket --------------------
+    scored = entropy_zscore_adjust(scored, ["ref_url", "ref_name"], "score", "has_physical")
+    scored = scored.filter(
+        F.col("has_physical") | (F.col("score") >= cfg.min_score)
+    )
+    # cache: group_cutoffs both derives per-group cutoffs from `scored` and
+    # joins them back onto it — without caching, the whole scoring DAG
+    # (5 joins + 6 windows) executes twice per consumer
+    scored = scored.withColumn("bucket", score_bucket(F.col("score"))).cache()
+
+    # ---- W1 knee/max-drop pruning + hard cap (ref graph.rs:743-795) ------
+    # attach_cutoffs computes the knee join-free: every window shares the
+    # (ref_url, ref_name) hash partitioning — one exchange, no per-group
+    # cutoff table to join or broadcast (unboundable at corpus scale)
+    grp = ["ref_url", "ref_name"]
+    hard_cap = cfg.def_limit if cfg.top_n == 0 else min(cfg.top_n, cfg.def_limit)
+    w = Window.partitionBy(*grp).orderBy(
+        F.desc("bucket"), F.asc("def_url"), F.asc("def_byte")
+    )
+    kept = (
+        attach_cutoffs(scored, grp, "bucket", ["def_url", "def_byte"], cfg.def_limit)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("bucket") >= F.col("cutoff")) | (F.col("rn") == 1))
+        .filter(F.col("rn") <= hard_cap)
+        .drop("rn", "cutoff")
+    ).cache()  # consumed by fallback anti-join, edges, incoming, outgoing
+
+    # ---- J7 unique-def fallback (weight-0 links, ref graph.rs:801-819) ---
+    linked_defs = kept.select("def_url", "def_name").distinct()
+    uniq = (
+        defs.groupBy("name")
+        .agg(F.countDistinct("url").alias("n"), F.min("url").alias("def_url"))
+        .filter(F.col("n") == 1)
+        .select(F.col("name").alias("def_name"), "def_url")
+        .join(linked_defs, ["def_url", "def_name"], "left_anti")
+    )
+    fallback = (
+        refs.groupBy(F.col("url").alias("ref_url"), F.col("name").alias("def_name"))
+        .agg(F.count("*").alias("occ"))
+        .join(uniq, "def_name")
+        .filter(F.col("ref_url") != F.col("def_url"))
+        .select(
+            "ref_url", F.col("def_name").alias("ref_name"), "occ", "def_url",
+            "def_name", F.lit(0).cast("long").alias("bucket"),
+        )
+    )
+
+    # ---- A8: page-level edge accumulation (salted two-phase) -------------
+    sym_edges = kept.select(
+        "ref_url", "ref_name", "occ", "def_url", "def_name", "bucket"
+    ).unionByName(fallback)
+    page_edges = salted_sum(
+        sym_edges.withColumn("w_total", F.col("bucket") * F.col("occ")),
+        ["ref_url", "def_url"], "w_total", "ref_name",
+        buckets=cfg.salt_buckets, out_col="weight",
+    ).select(
+        F.col("ref_url").alias("src_url"), F.col("def_url").alias("dst_url"), "weight"
+    )
+
+    # ---- A9: related-pages rollup (ref api.rs:230-299) -------------------
+    def_counts = defs.groupBy(F.col("url").alias("def_url")).agg(
+        F.count("*").alias("def_count")
+    )
+    incoming = (
+        sym_edges.join(F.broadcast(def_counts), "def_url", "left")
+        .fillna({"def_count": 0})
+        .select(
+            F.col("def_url").alias("page"),
+            F.col("ref_url").alias("other"),
+            (
+                F.col("occ")
+                * F.when(
+                    F.col("def_count") > 0,
+                    F.greatest(F.floor(F.col("bucket") / F.col("def_count")), F.lit(1)),
+                ).otherwise(F.col("bucket"))
+            ).cast("long").alias("w"),
+        )
+    )
+    outgoing = sym_edges.select(
+        F.col("ref_url").alias("page"),
+        F.col("def_url").alias("other"),
+        (F.col("occ") * F.col("bucket")).cast("long").alias("w"),
+    )
+    related = (
+        incoming.unionByName(outgoing)
+        .filter(F.col("page") != F.col("other"))
+        .groupBy("page", "other")
+        .agg(F.sum("w").alias("score"))
+        .filter(F.col("score") > 0)  # F10 ignore_zero
+    )
+
+    # ---- triples (north_star output contract) ----------------------------
+    titles = mentions.filter(F.col("kind") == "DEF").select(
+        "url", F.col("name").alias("subj")
+    )
+    ref_objs = (
+        mentions.filter(F.col("kind") == "REF")
+        .groupBy("url", F.col("name").alias("obj"))
+        .agg(F.min("start_byte").alias("start_byte"))
+        .withColumn("pred", F.lit("mentions"))
+    )
+    link_objs = (
+        mentions.filter(F.col("kind") == "IMPORT")
+        .groupBy("url", F.col("name").alias("obj"))
+        .agg(F.min("start_byte").alias("start_byte"))
+        .withColumn("pred", F.lit("links_to"))
+    )
+    triples = (
+        ref_objs.unionByName(link_objs)
+        .join(titles, "url")
+        .filter(F.col("obj") != F.col("subj"))
+        .select("subj", "pred", "obj", "url", "start_byte")
+    )
+
+    return GraphTables(
+        mentions=mentions,
+        candidates=kept,
+        edges=page_edges,
+        related=related,
+        triples=triples,
+    )

@@ -258,6 +258,40 @@ def w6_entropy_zscore(spark, sf_dir):
     return adj.select("user_id", "day", F.round("score", 6).alias("adj_score"))
 
 
+def a13_score_buckets(spark, sf_dir):
+    """A13: score-bucket × label pivot (ref eval/evaluate.py:236-296)."""
+    from gossiphs_spark.evalx import score_bucket_label
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("s"), "event_type"
+    ).withColumn("bucket", score_bucket_label(F.col("s")))
+    return (
+        scored.groupBy("bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .fillna(0)
+        .select(
+            "bucket",
+            *[F.col(c).cast("long").alias(c)
+              for c in ["click", "error", "purchase", "signup", "view"]],
+        )
+    )
+
+
+def a10_file_metadata(spark, sf_dir):
+    """A10/FileMetadata: per-url mention-kind counts + sorted evidence list
+    (ref api.rs:128-142,291-292)."""
+    fm = _filtered(spark, sf_dir)
+    return fm.groupBy("url").agg(
+        F.sum((F.col("kind") == "DEF").cast("long")).alias("n_defs"),
+        F.sum((F.col("kind") == "REF").cast("long")).alias("n_refs"),
+        F.min("start_byte").alias("first_byte"),
+        F.max("end_byte").alias("last_byte"),
+        md5_long(F.concat_ws(",", F.array_sort(F.collect_set("name")))).alias("names_sig"),
+    )
+
+
 def x_scalar_suite(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))

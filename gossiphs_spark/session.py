@@ -9,8 +9,38 @@ coalescing; Arrow is on because extraction is an Arrow-batched UDF.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for worker shipment — the local-mode equivalent of
+    ``spark-submit --py-files gossiphs_spark.zip`` (north rule launch mode).
+    Versioned by newest source mtime so edits invalidate the cached zip."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    newest = 0.0
+    files = []
+    for root, _dirs, names in os.walk(pkg_dir):
+        for n in names:
+            if n.endswith(".py"):
+                p = os.path.join(root, n)
+                files.append(p)
+                newest = max(newest, os.path.getmtime(p))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"gossiphs_spark_{int(newest)}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in files:
+                arc = os.path.join(
+                    "gossiphs_spark", os.path.relpath(p, pkg_dir)
+                )
+                zf.write(p, arc)
+        os.replace(tmp, zip_path)
+    return zip_path
 
 
 def get_spark(
@@ -41,4 +71,8 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in this context, or read-only source tree
     return spark

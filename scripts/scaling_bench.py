@@ -1,0 +1,110 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the N-vs-4N-executor criterion
+is evidenced by running the identical KG pipeline at local[N] and
+local[4N] on the same input and reporting throughput at both plus
+
+    efficiency = (throughput_4N / throughput_N) / 4
+
+Each level runs in a fresh subprocess (one JVM per master setting).
+Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python scripts/scaling_bench.py [n_low] [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = str({cores})
+from gossiphs_spark.session import get_spark
+from gossiphs_spark.config import PipelineConfig
+from gossiphs_spark.datagen import pages_df
+from gossiphs_spark.plans.pipeline import build_graph
+
+spark = get_spark(app_name="scaling_{cores}", cores={cores},
+                  shuffle_partitions=max({cores}, 8))
+pages, evidence, _ = pages_df(spark, n_pages={n_pages}, seed=7)
+pages = pages.repartition({cores} * 2).cache(); pages.count()
+evidence = evidence.cache(); evidence.count()
+# warmup: JIT + codegen caches, excluded from the measurement
+g = build_graph(spark, pages.limit(200), evidence, PipelineConfig())
+g.triples.count(); g.related.count()
+t0 = time.time()
+g = build_graph(spark, pages, evidence, PipelineConfig())
+n_triples = g.triples.count()
+n_related = g.related.count()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": dt,
+      "triples": n_triples, "related": n_related,
+      "tps": n_triples / dt}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_pages: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n_pages=n_pages)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cores={cores}: {proc.stdout[-2000:]} {proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    n_high = n_low * 4
+
+    low = run_level(n_low, n_pages)
+    high = run_level(n_high, n_pages)
+    eff = (high["tps"] / low["tps"]) / 4.0
+
+    summary = {
+        "n_pages": n_pages,
+        "low": low,
+        "high": high,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE.md — measured scaling evidence
+
+Generated {datetime.now(timezone.utc).isoformat()} by scripts/scaling_bench.py.
+North rule: identical job at N and 4N parallelism on the same input;
+efficiency = (throughput_4N / throughput_N) / 4, target >= 0.8.
+(Sandbox stand-in for N vs 4N executors — local[{n_low}] vs local[{n_high}],
+single JVM per run, fresh subprocess each.)
+
+| parallelism | wall sec | triples | triples/sec |
+|---|---|---|---|
+| local[{n_low}] | {low['sec']:.2f} | {low['triples']} | {low['tps']:.1f} |
+| local[{n_high}] | {high['sec']:.2f} | {high['triples']} | {high['tps']:.1f} |
+
+**Scaling efficiency: {eff:.3f}** (target ≥ 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+
+Corpus: {n_pages} deterministic synthetic pages (datagen seed=7), KG
+pipeline end-to-end (extraction → linking → scoring → pruning → edges →
+related), triples+related materialized. Warmup pass excluded.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Golden tests for the html extraction kernel (U1), recasting the
+reference's per-language extractor tests (/root/reference/src/extractor.rs:
+310-727): fixed input → exact expected (name, kind) set, byte-identical
+extracted text, and determinism across call sites."""
+
+from __future__ import annotations
+
+from gossiphs_spark.operators.extract import extract_page, extract_text
+
+HTML = (
+    b"<html><head><title>Quasar</title></head><body>"
+    b"<nav>home archive SiteIndex</nav>"
+    b"<h1>Quasar</h1><p>the Pulsar signal near Sol.Albedo was weak</p>"
+    b'<a href="https://beta.example/p/0002.html">more</a>'
+    b"<footer>copyright SiteIndex</footer></body></html>"
+)
+
+
+def test_exact_symbol_set():
+    rows = extract_page("u1", HTML)
+    got = {(r[1], r[2]) for r in rows}
+    assert got == {
+        ("Quasar", "DEF"),
+        ("Quasar", "REF"),            # the h1 occurrence in the body
+        ("Pulsar", "REF"),
+        ("Sol.Albedo", "REF"),
+        ("https://beta.example/p/0002.html", "IMPORT"),
+        ("nav", "NAMESPACE"),
+        ("footer", "NAMESPACE"),
+    }
+
+
+def test_boilerplate_entities_excluded():
+    # SiteIndex appears only inside nav/footer → must not become a REF
+    rows = extract_page("u1", HTML)
+    names = {r[1] for r in rows if r[2] == "REF"}
+    assert "SiteIndex" not in names
+
+
+def test_offsets_are_identity_anchors():
+    rows = extract_page("u1", HTML)
+    s = HTML.decode()
+    for r in rows:
+        _, name, kind, a, b, *_ = r
+        if kind in ("DEF", "REF", "IMPORT"):
+            assert s[a:b] == name, (name, kind, s[a:b])
+
+
+def test_extract_text_deterministic_and_stripped():
+    t1 = extract_text(HTML)
+    t2 = extract_text(bytes(HTML))
+    assert t1 == t2  # byte-identical per url
+    assert "SiteIndex" not in t1          # nav/footer stripped
+    assert "Pulsar" in t1
+    assert "<" not in t1 and ">" not in t1
+
+
+def test_non_utf8_skipped():
+    assert extract_text(b"\xff\xfe<bad>") is None
+    assert extract_page("u", b"\xff\xfe<bad>") == []
+
+
+def test_empty_and_malformed():
+    assert extract_page("u", b"") == []
+    rows = extract_page("u", b"<html><body>Pulsar <a href=>x</a></body></html>")
+    assert ("Pulsar", "REF") in {(r[1], r[2]) for r in rows}

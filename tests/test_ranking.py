@@ -86,3 +86,27 @@ def test_matches_reference_formula(cutoff_df, gi):
     assert r["knee_cutoff"] == py_knee(head), f"knee mismatch on {head}"
     assert r["max_drop_cutoff"] == py_max_drop(head), f"maxdrop mismatch on {head}"
     assert r["cutoff"] == max(py_knee(head), py_max_drop(head))
+
+
+def test_attach_cutoffs_matches_group_cutoffs(spark):
+    """The join-free window variant must agree with the reference-formula
+    variant on every vector (plus multi-row-per-score groups)."""
+    from gossiphs_spark.operators.ranking import attach_cutoffs
+
+    rows = []
+    for gi, vec in enumerate(VECTORS):
+        for j, s in enumerate(vec):
+            # two rows per score value to exercise marker selection
+            rows.append((f"g{gi}", int(s), j * 2))
+            rows.append((f"g{gi}", int(s), j * 2 + 1))
+    df = spark.createDataFrame(rows, "grp string, s long, id long")
+    expected = {
+        r["grp"]: r["cutoff"]
+        for r in group_cutoffs(df, ["grp"], "s", def_limit=12).collect()
+    }
+    got_df = attach_cutoffs(df, ["grp"], "s", ["id"], def_limit=12)
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["grp"], set()).add(r["cutoff"])
+    for g, exp in expected.items():
+        assert got[g] == {exp}, f"{g}: attach={got[g]} group={exp}"
