@@ -56,12 +56,13 @@ def sf_of(sf_dir: str) -> float:
 
 def pipeline_throughput(spark, sf: float) -> dict:
     from gossiphs_spark.config import PipelineConfig
-    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.datagen import pages_df_dist
     from gossiphs_spark.plans.pipeline import build_graph
 
-    n_pages = max(200, int(sf * 20000))
-    pages, evidence, _ = pages_df(spark, n_pages=n_pages, seed=7)
-    pages = pages.repartition(CPUS).cache()
+    n_pages = max(500, int(sf * 100000))
+    pages, evidence = pages_df_dist(spark, n_pages=n_pages, seed=7,
+                                    partitions=CPUS * 2)
+    pages = pages.cache()
     pages.count()  # materialize input outside the timed region
     evidence = evidence.cache()
     evidence.count()

@@ -1,0 +1,156 @@
+"""CLI — parity with the reference's subcommands
+(/root/reference/src/main.rs:234-247 dispatch):
+
+  relate    related pages for --url (or all) → JSON lines   (S4, main.rs:266-286)
+  export    node/edge tables with dense ids → JSONL/parquet (S5, main.rs:288-327)
+  matrix    page×page score matrix → CSV                    (S6, main.rs:329-441)
+  triples   materialize triples with lineage/resume         (O4 cache analog)
+  diff      two corpus snapshots → ADDED/DELETED/MODIFIED   (SO1, main.rs:606-640)
+
+Input is a parquet directory of pages(url, warc_ts, html, text, lang) and
+optionally evidence(url, evidence_id, ts). Launch locally or via
+``spark-submit --py-files <zip> -m gossiphs_spark.cli ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _load(spark, args):
+    pages = spark.read.parquet(args.pages)
+    if args.evidence:
+        evidence = spark.read.parquet(args.evidence)
+    else:
+        # no provenance: every page is its own singleton evidence at its
+        # crawl time (keeps scoring defined; jaccard degenerates to 0)
+        evidence = pages.select(
+            "url", F.col("url").alias("evidence_id"), F.col("warc_ts").alias("ts")
+        )
+    return pages, evidence
+
+
+def _build(spark, args):
+    from gossiphs_spark.config import PipelineConfig
+    from gossiphs_spark.plans.pipeline import build_graph
+
+    pages, evidence = _load(spark, args)
+    cfg = PipelineConfig(
+        def_limit=args.def_limit,
+        file_max_links=args.file_max_links,
+        exclude_url_regex=args.exclude_url_regex or "",
+    )
+    return build_graph(spark, pages, evidence, cfg)
+
+
+def cmd_relate(spark, args):
+    g = _build(spark, args)
+    rel = g.related
+    if args.url:
+        rel = rel.filter(F.col("page") == args.url)
+    if args.ignore_zero:
+        rel = rel.filter(F.col("score") > 0)  # F10
+    rows = rel.orderBy(F.desc("score"), "other").collect()
+    for r in rows:
+        print(json.dumps({"page": r["page"], "other": r["other"], "score": r["score"]}))
+
+
+def cmd_export(spark, args):
+    from gossiphs_spark.operators.graphops import dense_export
+
+    g = _build(spark, args)
+    nodes, edges = dense_export(g.related)
+    os.makedirs(args.out, exist_ok=True)
+    if args.format == "jsonl":
+        nodes.coalesce(1).write.mode("overwrite").json(os.path.join(args.out, "nodes"))
+        edges.coalesce(1).write.mode("overwrite").json(os.path.join(args.out, "edges"))
+    else:
+        nodes.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
+        edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+    print(json.dumps({"nodes": nodes.count(), "edges": edges.count(), "out": args.out}))
+
+
+def cmd_matrix(spark, args):
+    g = _build(spark, args)
+    g.related.orderBy("page", "other").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(args.out)
+    print(json.dumps({"rows": g.related.count(), "out": args.out}))
+
+
+def cmd_triples(spark, args):
+    from gossiphs_spark import lineage
+
+    pages, _ = _load(spark, args)
+    done = lineage.materialize_triples(
+        spark, pages, args.out, run_id=args.run_id, n_buckets=args.buckets
+    )
+    total = lineage.read_triples(spark, args.out).count()
+    print(json.dumps({"committed_buckets": done, "total_triples": total}))
+
+
+def cmd_diff(spark, args):
+    from gossiphs_spark.operators.graphops import snapshot_diff
+
+    old_args = argparse.Namespace(**vars(args))
+    old_args.pages = args.old_pages
+    g_old = _build(spark, old_args)
+    g_new = _build(spark, args)
+    d = snapshot_diff(g_old.related, g_new.related)
+    for r in d.orderBy("state", "page", "other").collect():
+        print(json.dumps({"page": r["page"], "other": r["other"], "state": r["state"]}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gossiphs_spark")
+    p.add_argument("--pages", required=True, help="parquet dir of pages")
+    p.add_argument("--evidence", help="parquet dir of evidence (optional)")
+    p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    p.add_argument("--def-limit", type=int, default=12)
+    p.add_argument("--file-max-links", type=int, default=0)
+    p.add_argument("--exclude-url-regex", default="")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("relate")
+    s.add_argument("--url")
+    s.add_argument("--ignore-zero", action="store_true")
+
+    s = sub.add_parser("export")
+    s.add_argument("--out", required=True)
+    s.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+
+    s = sub.add_parser("matrix")
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("triples")
+    s.add_argument("--out", required=True)
+    s.add_argument("--run-id", default="cli")
+    s.add_argument("--buckets", type=int, default=8)
+
+    s = sub.add_parser("diff")
+    s.add_argument("--old-pages", required=True)
+
+    args = p.parse_args(argv)
+
+    from gossiphs_spark.session import get_spark
+
+    spark = get_spark(app_name=f"gossiphs_{args.cmd}", cores=args.cores)
+    try:
+        {
+            "relate": cmd_relate,
+            "export": cmd_export,
+            "matrix": cmd_matrix,
+            "triples": cmd_triples,
+            "diff": cmd_diff,
+        }[args.cmd](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,19 +8,22 @@ test corpus properties:
 * entity surface forms with controlled collisions — same base name under
   different qualifiers (recasts test_fqn_isolation_in_graph,
   /root/reference/src/graph.rs:1162-1195);
-* hub entities present in a large fraction of pages (recasts hub-file
-  damping, graph.rs:916-918);
+* a few fixed hub entities present in a large fraction of pages (recasts
+  hub-file damping, graph.rs:916-918) while the rest of the vocabulary
+  SCALES with corpus size (real corpora add entities as they grow — a
+  fixed vocabulary would make candidate fan-out quadratic in pages);
 * boilerplate nav/footer blocks repeated across pages (recasts NAMESPACE
   pruning, graph.rs:154-199);
 * outlinks to other pages (IMPORT analog) and same-host grouping
   (same-package analog, graph.rs:97-101);
-* evidence snapshots touching page groups with timestamps spread over two
-  years (temporal-decay analog of commit history, graph.rs:547-581),
+* evidence snapshots touching page clusters with timestamps spread over
+  two years (temporal-decay analog of commit history, graph.rs:547-581),
   including one "fat" snapshot touching most pages (commit_size_limit
   analog, graph.rs:536-544).
 
-The html is generated bottom-up from the page's entity content, so the
-expected mention/triple set is known exactly → golden extraction tests.
+``page_record`` is a pure function of (i, n_pages, seed), so the corpus
+generates identically on the driver (small fixtures with exact expected
+sets) and distributed via mapInPandas over spark.range (bench scale).
 """
 
 from __future__ import annotations
@@ -37,6 +40,8 @@ ENTITY_STEMS = [
     "Magnetosphere", "Oort", "Photosphere",
 ]
 
+QUALIFIERS = ["Sol", "Luna", "Terra"]
+
 FILLER = (
     "the of a to and in on for with from into over under about near "
     "study survey result finding method datum signal noise model trend"
@@ -45,60 +50,90 @@ FILLER = (
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
+def _entity(idx: int) -> str:
+    """Deterministic entity surface form for a vocabulary index: cycles
+    stems, then qualified collisions (Sol.Quasar …), then numbered stems
+    (Quasar17 …) — unbounded, collision-rich."""
+    n_stems = len(ENTITY_STEMS)
+    if idx < n_stems:
+        return ENTITY_STEMS[idx]
+    idx -= n_stems
+    n_qual = len(QUALIFIERS) * n_stems
+    if idx < n_qual:
+        return f"{QUALIFIERS[idx // n_stems]}.{ENTITY_STEMS[idx % n_stems]}"
+    idx -= n_qual
+    return f"{ENTITY_STEMS[idx % n_stems]}{idx // n_stems + 2}"
+
+
+def vocab_size(n_pages: int) -> int:
+    # vocabulary grows with the corpus → df per entity stays O(1)
+    return max(30, n_pages // 4)
+
+
+def url_of(i: int) -> str:
+    return f"https://{HOSTS[i % len(HOSTS)]}/p/{i:04d}.html"
+
+
+def page_record(i: int, n_pages: int, seed: int) -> tuple:
+    """Pure: (url, warc_ts, html bytes, text None, lang)."""
+    url = url_of(i)
+    rng2 = random.Random(seed * 100003 + i)
+    nv = vocab_size(n_pages)
+    title = _entity(rng2.randrange(nv))
+    n_body = rng2.randrange(6, 14)
+    body_entities = [_entity(rng2.randrange(nv)) for _ in range(n_body)]
+    for h in ENTITY_STEMS[:3]:  # fixed hub entities
+        if rng2.random() < 0.6:
+            body_entities.append(h)
+    n_links = rng2.randrange(0, 4)
+    links = [url_of(rng2.randrange(n_pages)) for _ in range(n_links)]
+    links = [l for l in links if l != url]
+
+    words = []
+    for ent in body_entities:
+        words.extend(rng2.sample(FILLER, rng2.randrange(2, 5)))
+        words.append(ent)
+    words.extend(rng2.sample(FILLER, 3))
+    body = " ".join(words)
+
+    nav = "<nav>home archive about SiteIndex contact</nav>"
+    footer = "<footer>copyright SiteIndex terms privacy</footer>"
+    anchors = "".join(f'<a href="{l}">more</a>' for l in links)
+    html = (
+        f"<html><head><title>{title}</title></head><body>{nav}"
+        f"<h1>{title}</h1><p>{body}</p>{anchors}{footer}</body></html>"
+    )
+    warc_ts = EPOCH + timedelta(
+        days=rng2.randrange(0, 720), seconds=rng2.randrange(86400)
+    )
+    return (url, warc_ts, html.encode("utf-8"), None, "en",
+            title, body_entities, links)
+
+
+def evidence_records(n_pages: int, seed: int) -> list[tuple]:
+    evidence = []
+    n_snap = max(n_pages // 3, 4)
+    for s in range(n_snap):
+        rng3 = random.Random(seed * 7919 + s)
+        snap_id = f"snap-{s:05d}"
+        ts = EPOCH + timedelta(days=rng3.randrange(0, 720))
+        size = 2 + min(int(rng3.expovariate(0.35)), max(n_pages // 4, 2))
+        for i in rng3.sample(range(n_pages), min(size, n_pages)):
+            evidence.append((url_of(i), snap_id, ts))
+    fat_ts = EPOCH + timedelta(days=400)
+    for i in range(int(n_pages * 0.9)):
+        evidence.append((url_of(i), "snap-fat", fat_ts))
+    return evidence
+
+
 def build_corpus(n_pages: int = 120, seed: int = 7):
-    """Returns (pages_rows, evidence_rows, expected) where expected holds
-    the exact mention and triple sets the extractor must emit.
-
-    pages:    (url, warc_ts, html bytes, text, lang)
-    evidence: (url, evidence_id, ts)
-    """
-    rng = random.Random(seed)
-
-    # entity dictionary: plain stems + qualified collisions (Sol.Albedo vs
-    # Luna.Albedo share the base name but are distinct canonical entities)
-    qualifiers = ["Sol", "Luna", "Terra"]
-    entities = list(ENTITY_STEMS)
-    for q in qualifiers:
-        for s in ENTITY_STEMS[:6]:
-            entities.append(f"{q}.{s}")
-    hub_entities = ENTITY_STEMS[:3]  # appear on a large fraction of pages
-
+    """Driver-side corpus with exact expected mention/triple sets."""
     pages, expected_mentions, expected_triples = [], [], []
-    urls = []
     for i in range(n_pages):
-        host = HOSTS[i % len(HOSTS)]
-        url = f"https://{host}/p/{i:04d}.html"
-        urls.append(url)
-
-    for i, url in enumerate(urls):
-        rng2 = random.Random(seed * 100003 + i)
-        title = entities[rng2.randrange(len(entities))]
-        n_body = rng2.randrange(4, 10)
-        body_entities = [entities[rng2.randrange(len(entities))] for _ in range(n_body)]
-        for h in hub_entities:
-            if rng2.random() < 0.6:
-                body_entities.append(h)
-        n_links = rng2.randrange(0, 4)
-        links = [urls[rng2.randrange(len(urls))] for _ in range(n_links)]
-        links = [l for l in links if l != url]
-
-        words = []
-        for ent in body_entities:
-            words.extend(rng2.sample(FILLER, rng2.randrange(2, 5)))
-            words.append(ent)
-        words.extend(rng2.sample(FILLER, 3))
-        body = " ".join(words)
-
-        nav = "<nav>home archive about SiteIndex contact</nav>"
-        footer = "<footer>copyright SiteIndex terms privacy</footer>"
-        anchors = "".join(f'<a href="{l}">more</a>' for l in links)
-        html = (
-            f"<html><head><title>{title}</title></head><body>{nav}"
-            f"<h1>{title}</h1><p>{body}</p>{anchors}{footer}</body></html>"
+        url, warc_ts, html, text, lang, title, body_entities, links = page_record(
+            i, n_pages, seed
         )
-        warc_ts = EPOCH + timedelta(days=rng2.randrange(0, 720), seconds=rng2.randrange(86400))
-        pages.append((url, warc_ts, html.encode("utf-8"), None, "en"))
-
+        pages.append((url, warc_ts, html, text, lang))
         expected_mentions.append((url, title, "DEF"))
         expected_mentions.append((url, title, "REF"))  # the <h1> occurrence
         for ent in body_entities:
@@ -111,26 +146,8 @@ def build_corpus(n_pages: int = 120, seed: int = 7):
         for l in set(links):
             expected_triples.append((title, "links_to", l, url))
 
-    # evidence snapshots: ~n_pages/3 snapshots, each touching a geometric-ish
-    # cluster of pages; one fat snapshot touching 90% of pages
-    evidence = []
-    n_snap = max(n_pages // 3, 4)
-    for s in range(n_snap):
-        rng3 = random.Random(seed * 7919 + s)
-        snap_id = f"snap-{s:05d}"
-        ts = EPOCH + timedelta(days=rng3.randrange(0, 720))
-        size = 2 + min(int(rng3.expovariate(0.35)), n_pages // 4)
-        for u in rng3.sample(urls, size):
-            evidence.append((u, snap_id, ts))
-    fat_ts = EPOCH + timedelta(days=400)
-    for u in urls[: int(n_pages * 0.9)]:
-        evidence.append((u, "snap-fat", fat_ts))
-
-    expected = {
-        "mentions": expected_mentions,
-        "triples": expected_triples,
-    }
-    return pages, evidence, expected
+    expected = {"mentions": expected_mentions, "triples": expected_triples}
+    return pages, evidence_records(n_pages, seed), expected
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -142,3 +159,23 @@ def pages_df(spark, n_pages: int = 120, seed: int = 7):
     pdf = spark.createDataFrame(pages, PAGES_SCHEMA)
     edf = spark.createDataFrame(evidence, EVIDENCE_SCHEMA)
     return pdf, edf, expected
+
+
+def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = None):
+    """Distributed generator: mapInPandas over spark.range — the corpus
+    never materializes on the driver (bench / scale path)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [page_record(int(i), n_pages, seed)[:5] for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    rng = spark.range(n_pages)
+    if partitions:
+        rng = rng.repartition(partitions)
+    pdf = rng.mapInPandas(gen, PAGES_SCHEMA)
+    edf = spark.createDataFrame(evidence_records(n_pages, seed), EVIDENCE_SCHEMA)
+    return pdf, edf

@@ -28,13 +28,14 @@ sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = str({cores})
 from gossiphs_spark.session import get_spark
 from gossiphs_spark.config import PipelineConfig
-from gossiphs_spark.datagen import pages_df
+from gossiphs_spark.datagen import pages_df_dist
 from gossiphs_spark.plans.pipeline import build_graph
 
 spark = get_spark(app_name="scaling_{cores}", cores={cores},
                   shuffle_partitions=max({cores}, 8))
-pages, evidence, _ = pages_df(spark, n_pages={n_pages}, seed=7)
-pages = pages.repartition({cores} * 2).cache(); pages.count()
+pages, evidence = pages_df_dist(spark, n_pages={n_pages}, seed=7,
+                                partitions={cores} * 3)
+pages = pages.cache(); pages.count()  # input materialized outside timing
 evidence = evidence.cache(); evidence.count()
 # warmup: JIT + codegen caches, excluded from the measurement
 g = build_graph(spark, pages.limit(200), evidence, PipelineConfig())
@@ -66,7 +67,7 @@ def run_level(cores: int, n_pages: int) -> dict:
 
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
     n_high = n_low * 4
 
     low = run_level(n_low, n_pages)

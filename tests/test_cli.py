@@ -1,0 +1,57 @@
+"""CLI smoke tests — the reference's CLI entry points recast
+(relate/export/diff, ref src/main.rs:695-803 self-referential tests)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from gossiphs_spark.datagen import pages_df
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    pages, evidence, _ = pages_df(spark, n_pages=30, seed=21)
+    pages_dir = str(base / "pages")
+    ev_dir = str(base / "evidence")
+    half_dir = str(base / "pages_half")
+    pages.write.parquet(pages_dir)
+    evidence.write.parquet(ev_dir)
+    pages.limit(15).write.parquet(half_dir)
+    return pages_dir, ev_dir, half_dir
+
+
+def run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "gossiphs_spark.cli", *argv],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+
+
+def test_relate_outputs_json(corpus_dirs):
+    pages_dir, ev_dir, _ = corpus_dirs
+    r = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                "relate", "--ignore-zero")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert lines and all(l["score"] > 0 for l in lines)
+
+
+def test_export_and_diff(corpus_dirs, tmp_path):
+    pages_dir, ev_dir, half_dir = corpus_dirs
+    out = str(tmp_path / "export")
+    r = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                "export", "--out", out, "--format", "parquet")
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["nodes"] > 0 and stats["edges"] > 0
+
+    r2 = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                 "diff", "--old-pages", half_dir)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    states = {json.loads(l)["state"] for l in r2.stdout.splitlines() if l.startswith("{")}
+    assert "ADDED" in states

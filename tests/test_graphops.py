@@ -1,0 +1,71 @@
+"""Unit tests for graphops (salted agg, dense export, pairs, diff) and the
+W4 output-level filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gossiphs_spark.operators.graphops import (
+    dense_export,
+    pairs_between,
+    salted_sum,
+    snapshot_diff,
+)
+from gossiphs_spark.operators.ranking import filter_related
+
+
+def test_salted_sum_equals_plain_groupby(spark):
+    rows = [("hot", f"u{i % 7}", i % 13) for i in range(500)] + [
+        ("cold", "u1", 5), ("cold", "u2", 7)
+    ]
+    df = spark.createDataFrame(rows, "k string, salt string, v long")
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {
+        r["k"]: r["v"]
+        for r in salted_sum(df, ["k"], "v", "salt", buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_dense_export_ids_contiguous(spark):
+    rel = spark.createDataFrame(
+        [("b", "a", 3), ("c", "a", 2), ("a", "b", 1)], "page string, other string, score long"
+    )
+    nodes, edges = dense_export(rel)
+    ids = sorted(r["id"] for r in nodes.collect())
+    assert ids == [0, 1, 2]
+    # deterministic: sorted urls get ascending ids
+    m = {r["url"]: r["id"] for r in nodes.collect()}
+    assert m["a"] < m["b"] < m["c"]
+    assert edges.count() == 3
+
+
+def test_pairs_between(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "foo", 2), ("a", "c", "bar", 1)],
+        "src_url string, dst_url string, name string, weight long",
+    )
+    got = pairs_between(edges, "a", "b").collect()
+    assert len(got) == 1 and got[0]["name"] == "foo"
+
+
+def test_snapshot_diff_states(spark):
+    old = spark.createDataFrame([("a", "b"), ("a", "c")], "page string, other string")
+    new = spark.createDataFrame([("a", "b"), ("a", "d")], "page string, other string")
+    got = {(r["page"], r["other"]): r["state"] for r in snapshot_diff(old, new).collect()}
+    assert got == {("a", "b"): "MODIFIED", ("a", "c"): "DELETED", ("a", "d"): "ADDED"}
+
+
+def test_filter_related_w4(spark):
+    # scores with an obvious knee at 90 (documented vector) + floor/cap knobs
+    rows = [("p", f"o{i}", s) for i, s in enumerate([100, 95, 90, 10, 8])]
+    rel = spark.createDataFrame(rows, "page string, other string, score long")
+    # opt-out: both knobs 0 → unchanged (ref api.rs:71-73)
+    assert filter_related(rel, ["page"], "score", "other").count() == 5
+    # max cap 2 → top-2 kept
+    capped = filter_related(rel, ["page"], "score", "other", file_max_links=2)
+    assert {r["other"] for r in capped.collect()} == {"o0", "o1"}
+    # knee cutoff alone (min=1, max=99): keeps the >= 90 cluster
+    knee = filter_related(rel, ["page"], "score", "other",
+                          file_min_links=1, file_max_links=99)
+    assert {r["score"] for r in knee.collect()} == {100, 95, 90}
