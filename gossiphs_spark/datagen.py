@@ -162,8 +162,8 @@ def pages_df(spark, n_pages: int = 120, seed: int = 7):
 
 
 def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = None):
-    """Distributed generator: mapInPandas over spark.range — the corpus
-    never materializes on the driver (bench / scale path)."""
+    """Distributed generator: mapInPandas over spark.range — neither the
+    corpus nor the evidence ever materializes on the driver (scale path)."""
     import pandas as pd
 
     def gen(batches):
@@ -177,5 +177,31 @@ def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = N
     if partitions:
         rng = rng.repartition(partitions)
     pdf = rng.mapInPandas(gen, PAGES_SCHEMA)
-    edf = spark.createDataFrame(evidence_records(n_pages, seed), EVIDENCE_SCHEMA)
-    return pdf, edf
+
+    n_snap = max(n_pages // 3, 4)
+
+    def gen_ev(batches):
+        for bdf in batches:
+            rows = []
+            for s in bdf["id"]:
+                s = int(s)
+                rng3 = random.Random(seed * 7919 + s)
+                snap_id = f"snap-{s:05d}"
+                ts = EPOCH + timedelta(days=rng3.randrange(0, 720))
+                size = 2 + min(int(rng3.expovariate(0.35)), max(n_pages // 4, 2))
+                for i in rng3.sample(range(n_pages), min(size, n_pages)):
+                    rows.append((url_of(i), snap_id, ts))
+            yield pd.DataFrame(rows, columns=["url", "evidence_id", "ts"])
+
+    ev_rng = spark.range(n_snap)
+    if partitions:
+        ev_rng = ev_rng.repartition(partitions)
+    edf = ev_rng.mapInPandas(gen_ev, EVIDENCE_SCHEMA)
+    # the fat snapshot (commit_size_limit analog) touches 90% of pages
+    fat = spark.range(int(n_pages * 0.9)).selectExpr(
+        f"concat('https://', element_at(array{tuple(HOSTS)}, cast(id % 4 as int) + 1), "
+        f"'/p/', format_string('%04d', id), '.html') AS url",
+        "'snap-fat' AS evidence_id",
+        f"timestamp'{(EPOCH + timedelta(days=400)).strftime('%Y-%m-%d %H:%M:%S')}' AS ts",
+    )
+    return pdf, edf.unionByName(fat)

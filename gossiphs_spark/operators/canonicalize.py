@@ -1,0 +1,167 @@
+"""U4 — entity canonicalization: blocking + MinHash-LSH + components
+(SURVEY.md §2.9 U4; north_star requirement).
+
+Generalizes the reference's cross-file symbol resolution (exact + base-
+name matching, /root/reference/src/graph.rs:620-645) to fuzzy surface-form
+canonicalization at corpus scale:
+
+  1. BLOCK on the lowercase base segment (the reference's base-name
+     equality is the degenerate block) — bounds candidate generation.
+  2. MinHash signatures over character-3-gram shingles, md5-based
+     deterministic permutations, banded (b bands × r rows) — candidate
+     pairs are pairs sharing ≥1 (block, band, band_key) bucket, an
+     EQUI-join, never a cross join.
+  3. VERIFY candidates with exact shingle-set Jaccard ≥ threshold
+     (cheap: only on the LSH survivors).
+  4. Connected components by iterative min-label propagation over the
+     verified-pair graph (deterministic, bounded iterations) →
+     entity_id = min md5_long of the component's members.
+
+Every stage is DataFrame algebra; determinism (seeded hashes, no rand)
+keeps resume/retry idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gossiphs_spark.functions import base_name, md5_long
+
+
+def _shingle_names(names: DataFrame, k: int = 3) -> DataFrame:
+    """names(name) → (name, shingle) char-k-grams of the normalized form."""
+    norm = F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]", ""))
+    n = names.withColumn("_norm", norm)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(1))
+    )
+    return (
+        n.select("name", "_norm", F.explode(idx).alias("_i"))
+        .select("name", F.expr(f"substring(_norm, _i, {k})").alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(names: DataFrame, n_perms: int = 16) -> DataFrame:
+    """(name, p, sig): md5-based min-hash per permutation."""
+    spark = names.sparkSession
+    sh = _shingle_names(names)
+    perms = spark.range(n_perms).select(F.col("id").cast("int").alias("p"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "name", "p",
+            md5_long(F.concat_ws("#", "shingle", F.col("p").cast("string"))).alias("h"),
+        )
+        .groupBy("name", "p")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Blocked + banded candidate pairs (name_a < name_b)."""
+    sig = minhash_signatures(names, n_perms)
+    bands = (
+        sig.withColumn("band", F.floor(F.col("p") / rows_per_band).cast("int"))
+        .groupBy("name", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "sig"))),
+                    lambda x: x["sig"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+        .withColumn(
+            "block",
+            # normalized 4-char prefix of the base segment: coarse enough
+            # that near-dup variants land together ("Magnetar"/"Magnetars"
+            # → "magn"), tight enough to bound the bucket join; LSH prunes
+            # the collisions within a block
+            F.substring(
+                F.lower(F.regexp_replace(base_name(F.col("name")), r"[^A-Za-z0-9]", "")),
+                1, 4,
+            ),
+        )
+    )
+    a = bands.select(F.col("name").alias("name_a"), "band", "band_key", "block")
+    b = bands.select(F.col("name").alias("name_b"), "band", "band_key", "block")
+    return (
+        a.join(b, ["block", "band", "band_key"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+
+
+def verified_pairs(names: DataFrame, n_perms: int = 16,
+                   rows_per_band: int = 4, jaccard_min: float = 0.6) -> DataFrame:
+    """LSH candidates filtered by exact shingle Jaccard ≥ jaccard_min."""
+    cands = lsh_candidate_pairs(names, n_perms, rows_per_band)
+    sh = _shingle_names(names)
+    sizes = sh.groupBy("name").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col("name").alias("name_a"), "shingle"), "name_a")
+        .join(sh.select(F.col("name").alias("name_b"), "shingle"), ["name_b", "shingle"], "left_semi")
+        .groupBy("name_a", "name_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("name").alias("name_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("name").alias("name_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "name_a").join(nb, "name_b")
+        .withColumn("jacc", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jacc") >= jaccard_min)
+        .select("name_a", "name_b", F.round("jacc", 6).alias("jacc"))
+    )
+
+
+def canonical_entities(names: DataFrame, n_perms: int = 16,
+                       rows_per_band: int = 4, jaccard_min: float = 0.6,
+                       max_iter: int = 10) -> DataFrame:
+    """→ (name, entity_id, canonical_name): connected components of the
+    verified similarity graph; entity_id = min member hash, canonical_name
+    = lexicographically smallest member (deterministic)."""
+    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min).cache()
+    labels = names.select("name").distinct().withColumn("label", F.col("name"))
+
+    edges = pairs.select("name_a", "name_b").unionByName(
+        pairs.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
+    ).cache()
+
+    # min-label propagation to fixpoint (diameter-bounded; components here
+    # are tiny near-dup clusters so few iterations suffice)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("name", "name_b"), "name_b")
+            .groupBy("name_a")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("name_a", "name")
+        )
+        new_labels = (
+            labels.join(neigh, "name", "left")
+            .select(
+                "name",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "name")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        "name",
+        md5_long(F.col("label")).alias("entity_id"),
+        F.col("label").alias("canonical_name"),
+    )
