@@ -74,13 +74,17 @@ def url_of(i: int) -> str:
     return f"https://{HOSTS[i % len(HOSTS)]}/p/{i:04d}.html"
 
 
-def page_record(i: int, n_pages: int, seed: int) -> tuple:
-    """Pure: (url, warc_ts, html bytes, text None, lang)."""
+def page_record(i: int, n_pages: int, seed: int, body_scale: int = 1) -> tuple:
+    """Pure: (url, warc_ts, html bytes, text None, lang).
+
+    ``body_scale`` multiplies the body length — scale benches use 8-16 to
+    approximate real Common-Crawl page sizes (tens of KB) so extraction
+    compute, not per-stage overhead, dominates."""
     url = url_of(i)
     rng2 = random.Random(seed * 100003 + i)
     nv = vocab_size(n_pages)
     title = _entity(rng2.randrange(nv))
-    n_body = rng2.randrange(6, 14)
+    n_body = rng2.randrange(6, 14) * body_scale
     body_entities = [_entity(rng2.randrange(nv)) for _ in range(n_body)]
     for h in ENTITY_STEMS[:3]:  # fixed hub entities
         if rng2.random() < 0.6:
@@ -161,14 +165,18 @@ def pages_df(spark, n_pages: int = 120, seed: int = 7):
     return pdf, edf, expected
 
 
-def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = None):
+def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = None,
+                  body_scale: int = 1):
     """Distributed generator: mapInPandas over spark.range — neither the
     corpus nor the evidence ever materializes on the driver (scale path)."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            rows = [page_record(int(i), n_pages, seed)[:5] for i in pdf["id"]]
+            rows = [
+                page_record(int(i), n_pages, seed, body_scale)[:5]
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

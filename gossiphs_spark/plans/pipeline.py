@@ -220,12 +220,17 @@ def build_graph(
     card_a = card.select(F.col("url").alias("ref_url"), F.col("card").alias("card_a"))
     card_b = card.select(F.col("url").alias("def_url"), F.col("card").alias("card_b"))
 
+    # idf is the broadcast document-frequency map (north_star: "broadcast-
+    # joined document-frequency maps"); card/ref_count are URL-keyed, i.e.
+    # corpus-sized — forcing those to broadcast would serialize the driver
+    # and cannot work at 10^12 docs, so they stay shuffle joins (AQE still
+    # broadcasts them when they happen to be small)
     scored = (
         cands.join(F.broadcast(idf), "def_name", "left")
         .join(inter, ["ref_url", "def_url"], "left")
-        .join(F.broadcast(card_a), "ref_url", "left")
-        .join(F.broadcast(card_b), "def_url", "left")
-        .join(F.broadcast(ref_count), "def_url", "left")
+        .join(card_a, "ref_url", "left")
+        .join(card_b, "def_url", "left")
+        .join(ref_count, "def_url", "left")
         .fillna({"inter": 0.0, "card_a": 0.0, "card_b": 0.0, "ref_count": 0})
         .withColumn("idf", F.coalesce(F.col("idf"), F.lit(1.0)))
     )
@@ -306,7 +311,7 @@ def build_graph(
         F.count("*").alias("def_count")
     )
     incoming = (
-        sym_edges.join(F.broadcast(def_counts), "def_url", "left")
+        sym_edges.join(def_counts, "def_url", "left")  # url-keyed: no forced broadcast
         .fillna({"def_count": 0})
         .select(
             F.col("def_url").alias("page"),
@@ -362,4 +367,40 @@ def build_graph(
         edges=page_edges,
         related=related,
         triples=triples,
+    )
+
+
+def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
+    """U4 post-stage (north_star): map subj/obj surface forms to canonical
+    entities via blocking + MinHash-LSH components, then re-aggregate —
+    near-duplicate surface forms collapse into one node before the graph
+    materializes. The entity dictionary (distinct names) is orders of
+    magnitude smaller than the triple stream, so the two mapping joins
+    broadcast it."""
+    from gossiphs_spark.operators.canonicalize import canonical_entities
+
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    ents = canonical_entities(names, jaccard_min=jaccard_min).cache()
+    subj_map = ents.select(
+        F.col("name").alias("subj"), F.col("canonical_name").alias("canon_subj")
+    )
+    obj_map = ents.select(
+        F.col("name").alias("obj"), F.col("canonical_name").alias("canon_obj")
+    )
+    return (
+        triples.join(F.broadcast(subj_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
+        .select(
+            F.coalesce("canon_subj", "subj").alias("subj"),
+            "pred",
+            F.coalesce("canon_obj", "obj").alias("obj"),
+            "url",
+            "start_byte",
+        )
+        .groupBy("subj", "pred", "obj", "url")
+        .agg(F.min("start_byte").alias("start_byte"))
     )

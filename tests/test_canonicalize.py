@@ -62,3 +62,25 @@ def test_canonical_components_deterministic(spark):
     ents2 = canonical_entities(_names_df(spark).repartition(5), jaccard_min=0.5)
     rows2 = {r["name"]: (r["entity_id"], r["canonical_name"]) for r in ents2.collect()}
     assert rows == rows2
+
+
+def test_canonicalize_triples_postprocess(spark):
+    from gossiphs_spark.plans.pipeline import canonicalize_triples
+
+    triples = spark.createDataFrame(
+        [
+            ("Exoplanet", "mentions", "Pulsar", "u1", 10),
+            ("ExoPlanet", "mentions", "Pulsar", "u1", 90),
+            ("ExoPlanet", "mentions", "Magnetars", "u2", 5),
+            ("Quasar", "mentions", "Magnetar", "u2", 7),
+        ],
+        "subj string, pred string, obj string, url string, start_byte long",
+    )
+    out = canonicalize_triples(triples, jaccard_min=0.5)
+    rows = {(r["subj"], r["pred"], r["obj"], r["url"]): r["start_byte"] for r in out.collect()}
+    # the two Exoplanet spellings collapse; min start_byte kept
+    assert ("ExoPlanet", "mentions", "Pulsar", "u1") in rows
+    assert rows[("ExoPlanet", "mentions", "Pulsar", "u1")] == 10
+    # Magnetars normalizes to the Magnetar cluster's canonical form
+    objs = {k[2] for k in rows}
+    assert "Magnetars" not in objs and "Magnetar" in objs
