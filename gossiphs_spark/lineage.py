@@ -84,7 +84,9 @@ def materialize_triples(
         from gossiphs_spark.operators.extract import extract_mentions
 
         def build_triples(p):
-            m = extract_mentions(p)
+            m = extract_mentions(
+                p, columns=("url", "name", "kind", "start_byte")
+            )
             titles = m.filter(F.col("kind") == "DEF").select(
                 "url", F.col("name").alias("subj")
             )

@@ -136,26 +136,45 @@ def extract_page(url: str, html: bytes) -> list[tuple]:
     return out
 
 
-def extract_mentions(pages: DataFrame) -> DataFrame:
+ALL_MENTION_COLS = (
+    "url", "name", "kind", "start_byte", "end_byte",
+    "start_row", "start_col", "end_row", "end_col",
+)
+
+
+def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_COLS) -> DataFrame:
     """pages(url, html, ...) → mentions via Arrow-batched mapInPandas.
 
     Embarrassingly parallel over page partitions — the Spark analog of the
     reference's rayon par_iter (graph.rs:217). Column pruning keeps only
-    (url, html) flowing into Python."""
-    cols = ["url", "html"]
+    (url, html) flowing INTO Python; ``columns`` prunes the flow OUT —
+    Catalyst cannot push projection through a mapInPandas boundary, so a
+    caller that only needs (url, name, kind, start_byte) should say so
+    (halves the Arrow transfer volume).
+
+    Output frames are built column-wise: per-row tuple assembly allocates
+    9 boxed objects per mention and dominates the kernel at scale.
+    """
+    col_idx = [ALL_MENTION_COLS.index(c) for c in columns]
+    schema = ", ".join(
+        f"{c} string" if c in ("url", "name", "kind") else f"{c} long"
+        for c in columns
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        names = [
-            "url", "name", "kind", "start_byte", "end_byte",
-            "start_row", "start_col", "end_row", "end_col",
-        ]
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 rows.extend(extract_page(url, html))
-            yield pd.DataFrame(rows, columns=names)
+            if rows:
+                transposed = list(zip(*rows))  # C-level transpose
+                yield pd.DataFrame(
+                    {c: transposed[j] for c, j in zip(columns, col_idx)}
+                )
+            else:
+                yield pd.DataFrame({c: [] for c in columns})
 
-    return pages.select(*cols).mapInPandas(run, MENTIONS_SCHEMA)
+    return pages.select("url", "html").mapInPandas(run, schema)
 
 
 def extract_texts(pages: DataFrame) -> DataFrame:

@@ -140,17 +140,16 @@ def _physical_evidence(cands: DataFrame, imports: DataFrame) -> DataFrame:
     are equi-joins on normalized keys — never a theta/cross join."""
     imp = imports.select(
         F.col("url").alias("ref_url"),
-        F.regexp_replace(F.col("name"), "[\"'<>]", "").alias("target"),
+        F.regexp_replace(F.col("name"), "[\"'<>]", "").alias("def_url"),
+        F.lit(True).alias("imported"),
     ).distinct()
-    cands = cands.join(
-        imp.withColumn("imported", F.lit(True)),
-        (cands.ref_url == imp.ref_url) & (cands.def_url == imp.target),
-        "left",
-    ).drop(imp.ref_url).drop("target").fillna({"imported": False})
-    dir_of = lambda c: F.regexp_extract(c, r"^(.*)/", 1)  # noqa: E731
-    return cands.withColumn("same_pkg", dir_of(F.col("ref_url")) == dir_of(F.col("def_url"))).withColumn(
-        "has_physical", F.col("imported") | F.col("same_pkg")
+    cands = cands.join(imp, ["ref_url", "def_url"], "left").fillna(
+        {"imported": False}
     )
+    dir_of = lambda c: F.regexp_extract(c, r"^(.*)/", 1)  # noqa: E731
+    return cands.withColumn(
+        "same_pkg", dir_of(F.col("ref_url")) == dir_of(F.col("def_url"))
+    ).withColumn("has_physical", F.col("imported") | F.col("same_pkg"))
 
 
 def build_graph(

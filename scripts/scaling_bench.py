@@ -1,13 +1,27 @@
 """Two-parallelism scaling evidence (BASELINE.json north_rule).
 
 No real cluster exists in this sandbox, so the N-vs-4N-executor criterion
-is evidenced by running the identical KG pipeline at local[N] and
-local[4N] on the same input and reporting throughput at both plus
+is evidenced by running the identical job at N and 4N CPUs on the same
+input and reporting throughput at both plus
 
     efficiency = (throughput_4N / throughput_N) / 4
 
-Each level runs in a fresh subprocess (one JVM per master setting).
-Writes BENCH/BASELINE.md and prints a JSON summary.
+Methodology notes (each was validated against a failure mode observed
+while building this harness):
+* the corpus is generated ONCE to parquet and both runs read the same
+  files ("identical job, same input");
+* each level runs in a fresh subprocess pinned with ``taskset`` — without
+  pinning, local[N]'s forked Python UDF workers execute beyond the N JVM
+  threads and the "N-core" run silently uses ~2N cores;
+* the measured pass is the SECOND execution (steady state) — the first
+  pass pays JIT/codegen compilation, which is identical at both levels
+  and would flatten the ratio;
+* pages are Common-Crawl-weight (~13 KB html, body_scale=8) so extraction
+  compute — the kernel that dominates a 100 TB run — dominates here too.
+
+Measured job: triples materialization (pages → Arrow-batched extraction →
+(subj, pred, obj) triples → count), i.e. the BASELINE.json "triples/sec"
+metric. Writes BENCH/BASELINE.md and prints a JSON summary.
 
 Usage: python scripts/scaling_bench.py [n_low] [n_pages]
 """
@@ -18,30 +32,42 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PREPARE = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+from gossiphs_spark.session import get_spark
+from gossiphs_spark.datagen import pages_df_dist
+spark = get_spark(app_name="scaling_prepare", cores=32, shuffle_partitions=32)
+pages, _ = pages_df_dist(spark, n_pages={n_pages}, seed=7, partitions=96,
+                         body_scale=8)
+pages.write.mode("overwrite").parquet({corpus!r})
+print("PREPARED")
+spark.stop()
+"""
 
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = str({cores})
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 from pyspark.sql import functions as F
 from gossiphs_spark.session import get_spark
-from gossiphs_spark.datagen import pages_df_dist
 from gossiphs_spark.operators.extract import extract_mentions
 
 spark = get_spark(app_name="scaling_{cores}", cores={cores},
-                  shuffle_partitions=max({cores}, 8))
-# Common-Crawl-weight pages (body_scale=8 ≈ 13 KB html) — extraction
-# compute, the irreducible kernel at 100 TB, dominates the measurement
-pages, _ = pages_df_dist(spark, n_pages={n_pages}, seed=7,
-                         partitions={cores} * 3, body_scale=8)
-pages = pages.cache(); pages.count()  # input materialized outside timing
+                  shuffle_partitions=max({cores}, 8),
+                  extra_conf={{"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"}})
+pages = spark.read.parquet({corpus!r}).repartition({cores} * 3).cache()
+pages.count()  # input materialized outside timing
 
 def triples_of(p):
-    m = extract_mentions(p)
+    m = extract_mentions(p, columns=("url", "name", "kind", "start_byte"))
     titles = m.filter(F.col("kind") == "DEF").select("url", F.col("name").alias("subj"))
     objs = (m.filter(F.col("kind").isin("REF", "IMPORT"))
         .groupBy("url", F.col("name").alias("obj"),
@@ -51,8 +77,8 @@ def triples_of(p):
     return (objs.join(titles, "url").filter(F.col("obj") != F.col("subj"))
             .select("subj", "pred", "obj", "url", "start_byte"))
 
-# warmup on a slice: JIT + codegen caches, excluded from the measurement
-triples_of(pages.limit(500)).count()
+# pass 1 = warmup (JIT/codegen — identical cost at both levels); pass 2 measured
+triples_of(pages).count()
 t0 = time.time()
 n_triples = triples_of(pages).count()
 dt = time.time() - t0
@@ -62,11 +88,13 @@ spark.stop()
 """
 
 
-def run_level(cores: int, n_pages: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_pages=n_pages)
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
-    )
+def run(cmd, timeout=3600):
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+
+
+def run_level(cores: int, corpus: str) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus)
+    proc = run(["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code])
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -77,11 +105,18 @@ def run_level(cores: int, n_pages: int) -> dict:
 
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 1_500_000
     n_high = n_low * 4
+    corpus = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{n_pages}")
 
-    low = run_level(n_low, n_pages)
-    high = run_level(n_high, n_pages)
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        proc = run([sys.executable, "-c",
+                    PREPARE.format(repo=REPO, n_pages=n_pages, corpus=corpus)])
+        if "PREPARED" not in proc.stdout:
+            raise RuntimeError(f"prepare failed: {proc.stderr[-2000:]}")
+
+    low = run_level(n_low, corpus)
+    high = run_level(n_high, corpus)
     eff = (high["tps"] / low["tps"]) / 4.0
 
     summary = {
@@ -101,31 +136,32 @@ def main() -> None:
 Generated {datetime.now(timezone.utc).isoformat()} by scripts/scaling_bench.py.
 North rule: identical job at N and 4N parallelism on the same input;
 efficiency = (throughput_4N / throughput_N) / 4, target >= 0.8.
-(Sandbox stand-in for N vs 4N executors — local[{n_low}] vs local[{n_high}],
-single JVM per run, fresh subprocess each, 32 physical cores.)
+
+Sandbox stand-in for N vs 4N executors: fresh subprocess per level,
+``taskset``-pinned to {n_low} / {n_high} of the 32 physical cores (pinning
+bounds the Python UDF workers too — without it local[N] silently uses ~2N
+cores). Both levels read the SAME pre-generated parquet corpus; the
+measured pass is the second execution (steady state, post-JIT).
 
 **Measured job: triples materialization** (pages → Arrow-batched
 extraction → (subj, pred, obj) triples), the BASELINE.json "triples/sec"
 metric and the compute that dominates a 100 TB run. Pages are Common-
-Crawl-weight (~13 KB html, body_scale=8); the input DataFrame is cached
-and materialized before timing; a warmup slice excludes JIT/codegen
-compilation from the measurement.
+Crawl-weight (~13 KB html).
 
 | parallelism | wall sec | triples | triples/sec |
 |---|---|---|---|
-| local[{n_low}] | {low['sec']:.2f} | {low['triples']} | {low['tps']:.1f} |
-| local[{n_high}] | {high['sec']:.2f} | {high['triples']} | {high['tps']:.1f} |
+| {n_low} cpus | {low['sec']:.2f} | {low['triples']} | {low['tps']:.1f} |
+| {n_high} cpus | {high['sec']:.2f} | {high['triples']} | {high['tps']:.1f} |
 
 **Scaling efficiency: {eff:.3f}** (target ≥ 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
 
-Corpus: {n_pages} deterministic synthetic pages (datagen seed=7).
+Corpus: {n_pages} deterministic synthetic pages (datagen seed=7,
+body_scale=8 ≈ 13 KB html each).
 
 Note on the scored-graph query phase (linking → Jaccard scoring → knee
 pruning → rollup): at sandbox data volumes its ~40-stage critical path is
-per-stage-overhead-bound, so it does not exhibit meaningful core scaling
-(measured 83s @ local[8] vs 78s @ local[32] on 400k light pages before
-the corpus-sized-broadcast fix); its absolute cost is tracked per-round in
-BENCH_r{{N}}.json via bench.py instead.
+per-stage-overhead-bound and does not exhibit meaningful core scaling;
+its absolute cost is tracked per-round in BENCH_r{{N}}.json via bench.py.
 """)
 
 
