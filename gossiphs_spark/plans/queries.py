@@ -92,10 +92,28 @@ def j1_link_exact(spark, sf_dir):
 
 
 def j1_candidate_counts(spark, sf_dir):
+    """Candidate-def count per (ref page, name) — computed from the
+    per-name def-count dim instead of materializing the ref×def pairs
+    (identical result; the pair join is O(refs × df) and hits ~10^9 rows
+    on a 30-word vocabulary at sf0.1). n_defs = total defining pages of
+    the name minus 1 if the ref page itself defines it (the self-link
+    exclusion the pair join's def_url != ref_url does)."""
     defs, refs = _defs_refs(spark, sf_dir)
-    links = tm.link_exact(defs.select("url", "name").distinct(), refs)
-    return links.groupBy("ref_url", "name").agg(
-        F.countDistinct("def_url").cast("long").alias("n_defs")
+    dd = defs.select("url", "name").distinct()
+    name_counts = dd.groupBy("name").agg(F.countDistinct("url").alias("total_defs"))
+    ref_groups = refs.select(F.col("url").alias("ref_url"), "name").distinct()
+    self_def = dd.select(F.col("url").alias("ref_url"), "name").withColumn(
+        "self_def", F.lit(1)
+    )
+    return (
+        ref_groups.join(F.broadcast(name_counts), "name")
+        .join(self_def, ["ref_url", "name"], "left")
+        .fillna({"self_def": 0})
+        .select(
+            "ref_url", "name",
+            (F.col("total_defs") - F.col("self_def")).cast("long").alias("n_defs"),
+        )
+        .filter(F.col("n_defs") > 0)
     )
 
 
