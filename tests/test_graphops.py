@@ -69,3 +69,21 @@ def test_filter_related_w4(spark):
     knee = filter_related(rel, ["page"], "score", "other",
                           file_min_links=1, file_max_links=99)
     assert {r["score"] for r in knee.collect()} == {100, 95, 90}
+
+
+def test_markdown_vault_sink(spark, tmp_path):
+    # S7: one markdown body per page, links ordered by score desc
+    from gossiphs_spark.operators.sinks import markdown_links, write_markdown_vault
+
+    rel = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 9), ("d", "a", 1)],
+        "page string, other string, score long",
+    )
+    md = {r["page"]: r["md"] for r in markdown_links(rel).collect()}
+    assert md["a"] == "- [[c]]\n- [[b]]"
+    assert md["d"] == "- [[a]]"
+    out = str(tmp_path / "vault")
+    write_markdown_vault(rel, out)
+    import glob
+
+    assert len(glob.glob(out + "/dir=*/*.txt")) == 2
