@@ -68,6 +68,10 @@ _QUERY_NAMES = [
     "tq_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    # rows-only (no SQL-expressible oracle; driver records the weaker check)
+    "mm_decode_stub",
+    "kg_build_related",
+    "kg_triples_canonical",
 ]
 
 

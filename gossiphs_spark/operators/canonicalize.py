@@ -126,15 +126,20 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
     """→ (name, entity_id, canonical_name): connected components of the
     verified similarity graph; entity_id = min member hash, canonical_name
     = lexicographically smallest member (deterministic)."""
-    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min).cache()
+    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min)
     labels = names.select("name").distinct().withColumn("label", F.col("name"))
 
     edges = pairs.select("name_a", "name_b").unionByName(
         pairs.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
-    ).cache()
+    )
 
     # min-label propagation to fixpoint (diameter-bounded; components here
-    # are tiny near-dup clusters so few iterations suffice)
+    # are tiny near-dup clusters so few iterations suffice). Each iteration
+    # references `labels` twice, so without lineage truncation the logical
+    # plan doubles per iteration (2^k copies → analyzer OOM by k≈10):
+    # localCheckpoint materializes and cuts the lineage every round.
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("name", "name_b"), "name_b")
@@ -148,14 +153,14 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
                 "name",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
-        ).cache()
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "name")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

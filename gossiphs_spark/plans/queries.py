@@ -518,6 +518,69 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- rows-only
+# (no DuckDB oracle — the driver records the weaker rows-only check)
+def _detach(spark, df):
+    """Materialize a small result and release every intermediate cache —
+    the scored build caches its hot intermediates, and a sequence of
+    queries sharing one session would otherwise accumulate them until the
+    heap fills. Demo-sized outputs only (collects to the driver)."""
+    rows = df.collect()
+    schema = df.schema
+    spark.catalog.clearCache()
+    return spark.createDataFrame(rows, schema)
+
+
+def mm_decode_stub(spark, sf_dir):
+    """Multimodal binary-column plumbing: documents text bytes → typed
+    metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs
+    in this container; the Spark-side path is real)."""
+    from gossiphs_spark.operators.multimodal import decode_binary_column
+
+    d = load_table(spark, sf_dir, "documents")
+    binarized = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return decode_binary_column(binarized)
+
+
+def kg_build_related(spark, sf_dir):
+    """North-star scored pipeline end-to-end on the deterministic synthetic
+    corpus: extraction → linking → IDF×Jaccard scoring → entropy/knee
+    pruning → related-pages rollup. Iterative/UDF stages — rows-only."""
+    from gossiphs_spark.config import PipelineConfig
+    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.plans.pipeline import build_graph
+
+    pages, evidence, _ = pages_df(spark, n_pages=200, seed=7)
+    g = build_graph(spark, pages, evidence, PipelineConfig())
+    return _detach(spark, g.related)
+
+
+def kg_triples_canonical(spark, sf_dir):
+    """Extraction triples + MinHash-LSH entity canonicalization (U4)."""
+    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.operators.extract import extract_mentions
+    from gossiphs_spark.plans.pipeline import canonicalize_triples
+
+    pages, _, _ = pages_df(spark, n_pages=120, seed=7)
+    m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+    titles = m.filter(F.col("kind") == "DEF").select("url", F.col("name").alias("subj"))
+    objs = (
+        m.filter(F.col("kind").isin("REF", "IMPORT"))
+        .groupBy("url", F.col("name").alias("obj"),
+                 F.when(F.col("kind") == "REF", F.lit("mentions"))
+                 .otherwise(F.lit("links_to")).alias("pred"))
+        .agg(F.min("start_byte").alias("start_byte"))
+    )
+    triples = (
+        objs.join(titles, "url").filter(F.col("obj") != F.col("subj"))
+        .select("subj", "pred", "obj", "url", "start_byte")
+    )
+    return _detach(spark, canonicalize_triples(triples))
+
+
 def ann_lsh_buckets(spark, sf_dir):
     emb = _emb_double(spark, sf_dir)
     bucket = F.concat_ws(
