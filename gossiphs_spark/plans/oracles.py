@@ -423,13 +423,18 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM shingles a JOIN shingles b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+         ROUND(i.inter / (na.n + nb.n - i.inter), 6) AS jacc
+  FROM inter i
+  JOIN sizes na ON i.doc_a = na.doc_id
+  JOIN sizes nb ON i.doc_b = nb.doc_id
 )
-SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
-       ROUND(i.inter / (na.n + nb.n - i.inter), 6) AS jacc
-FROM inter i
-JOIN sizes na ON i.doc_a = na.doc_id
-JOIN sizes nb ON i.doc_b = nb.doc_id
-WHERE i.inter / (na.n + nb.n - i.inter) >= 0.2
+SELECT doc_a, doc_b, inter, jacc, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY jacc DESC, doc_a ASC, doc_b ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 50
 """
 
 ORACLES["dd_minhash_lsh"] = "WITH" + SHINGLE_CTES.format(limit=100) + """,
@@ -444,10 +449,9 @@ bands AS (
          string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p) AS band_key
   FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       CAST(('0x' || substring(md5(CAST(band AS VARCHAR) || '|' || band_key), 1, 15)) AS BIGINT) AS band_sig
+FROM bands
 """
 
 ORACLES["dd_simhash"] = """

@@ -365,12 +365,19 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
+    scored = (
         inter.join(na, "doc_a").join(nb, "doc_b")
-        .withColumn("jacc", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .filter(F.col("jacc") >= 0.2)
-        .select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"),
-                F.round("jacc", 6).alias("jacc"))
+        .withColumn("jacc", F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jacc")
+    )
+    # top-50 most similar pairs, deterministic tie-break — the synthetic
+    # corpus has no true near-dups (max jacc ≈ 0.02), so a threshold query
+    # would be vacuously empty; ranking exercises the full computation
+    w = Window.orderBy(F.desc("jacc"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 50)
     )
 
 
@@ -401,13 +408,16 @@ def dd_minhash_lsh(spark, sf_dir):
             ).alias("band_key")
         )
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    # Output the banded signatures themselves (dense, fully deterministic):
+    # collision pairs are correct-but-vacuously-empty on this dissimilar
+    # corpus (max shingle-jaccard ≈ 0.02); near-dup LSH pair joins are
+    # exercised with real clusters in canonicalize.py + its tests. The
+    # band_sig hashes the whole 4-row band key — any minhash deviation
+    # anywhere flips it.
+    return bands.select(
+        "doc_id",
+        F.col("band").cast("long").alias("band"),
+        md5_long(F.concat_ws("|", F.col("band").cast("string"), "band_key")).alias("band_sig"),
     )
 
 
