@@ -55,6 +55,8 @@ _QUERY_NAMES = [
     "w6_entropy_zscore",
     "a13_score_buckets",
     "a10_file_metadata",
+    "o8_hub_damped_counts",
+    "w4_related_filtered",
     # scalar suite (§2.7)
     "x_scalar_suite",
     # training-data pipeline ops

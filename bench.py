@@ -112,8 +112,13 @@ def main() -> None:
     from gossiphs_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    from gossiphs_spark.session import dir_size_bytes, tune_adaptive
+
     spark = get_spark(app_name="gossiphs_bench", cores=CPUS,
                       shuffle_partitions=max(CPUS, 16))
+    # size-based AQE: off below ~2 GiB input (stage re-planning latency
+    # dominates there), on at scale — see session.tune_adaptive
+    tune_adaptive(spark, dir_size_bytes(SF_DIR))
 
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else BENCH_QUERY_NAMES

@@ -35,17 +35,23 @@ def _load(spark, args):
     return pages, evidence
 
 
-def _build(spark, args):
+def _cfg_of(args):
     from gossiphs_spark.config import PipelineConfig
+
+    return PipelineConfig(
+        def_limit=args.def_limit,
+        file_min_links=args.file_min_links,
+        file_max_links=args.file_max_links,
+        max_def_ratio=args.max_def_ratio,
+        exclude_url_regex=args.exclude_url_regex or "",
+    )
+
+
+def _build(spark, args):
     from gossiphs_spark.plans.pipeline import build_graph
 
     pages, evidence = _load(spark, args)
-    cfg = PipelineConfig(
-        def_limit=args.def_limit,
-        file_max_links=args.file_max_links,
-        exclude_url_regex=args.exclude_url_regex or "",
-    )
-    return build_graph(spark, pages, evidence, cfg)
+    return build_graph(spark, pages, evidence, _cfg_of(args))
 
 
 def cmd_relate(spark, args):
@@ -112,7 +118,9 @@ def main(argv=None):
     p.add_argument("--evidence", help="parquet dir of evidence (optional)")
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     p.add_argument("--def-limit", type=int, default=12)
+    p.add_argument("--file-min-links", type=int, default=0)
     p.add_argument("--file-max-links", type=int, default=0)
+    p.add_argument("--max-def-ratio", type=float, default=0.1)
     p.add_argument("--exclude-url-regex", default="")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -137,9 +145,21 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
-    from gossiphs_spark.session import get_spark
+    from gossiphs_spark.session import dir_size_bytes, get_spark, tune_adaptive
 
-    spark = get_spark(app_name=f"gossiphs_{args.cmd}", cores=args.cores)
+    # engine knobs flow from PipelineConfig into the session (the same
+    # values a spark-submit launch would pass as --conf)
+    cfg = _cfg_of(args)
+    spark = get_spark(
+        app_name=f"gossiphs_{args.cmd}",
+        cores=args.cores,
+        shuffle_partitions=cfg.shuffle_partitions,
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch":
+                str(cfg.arrow_max_records_per_batch),
+        },
+    )
+    tune_adaptive(spark, dir_size_bytes(args.pages))
     try:
         {
             "relate": cmd_relate,

@@ -38,8 +38,9 @@ class PipelineConfig:
     broadcast_threshold_rows: int = 2_000_000  # broadcast the IDF/dictionary maps
 
     # --- dedup / canonicalization (north_star; no direct ref analog) ---
-    minhash_perms: int = 64
-    minhash_bands: int = 16        # 16 bands x 4 rows
+    # plumbed into canonicalize_triples (rows/band = perms // bands)
+    minhash_perms: int = 16
+    minhash_bands: int = 4         # 4 bands x 4 rows
     shingle_size: int = 3
     simhash_bits: int = 64
 

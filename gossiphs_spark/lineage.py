@@ -124,7 +124,9 @@ def materialize_triples(
         ).collect()[0]
 
         bucket_path = os.path.join(out_dir, f"triples_bucket={b:05d}")
-        tmp_path = bucket_path + ".inprogress"
+        # tmp dir deliberately does NOT match the committed-bucket naming —
+        # a run killed mid-write must never leave data a reader could glob
+        tmp_path = os.path.join(out_dir, f".inprogress_triples_bucket={b:05d}")
         tri.write.mode("overwrite").parquet(tmp_path)
         n = spark.read.parquet(tmp_path).count()
         if os.path.exists(bucket_path):
@@ -152,4 +154,13 @@ def materialize_triples(
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "triples_bucket=*"))
+    """Read ONLY buckets with a committed lineage row — never a glob.
+
+    A glob would also match stray directories (partial data copied in by
+    hand, artifacts of older layouts); the lineage file is the commit log,
+    so it alone decides what is readable."""
+    done = sorted(committed_buckets(out_dir))
+    if not done:
+        raise FileNotFoundError(f"no committed triple buckets under {out_dir}")
+    paths = [os.path.join(out_dir, f"triples_bucket={b:05d}") for b in done]
+    return spark.read.parquet(*paths)

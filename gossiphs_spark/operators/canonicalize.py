@@ -140,6 +140,7 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
     # localCheckpoint materializes and cuts the lineage every round.
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("name", "name_b"), "name_b")
@@ -164,6 +165,16 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # no silent caps: a component with diameter > max_iter would keep
+        # two canonical names for one cluster — make the truncation visible
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "canonical_entities: label propagation did not converge in %d "
+            "iterations (%d labels still changing); clusters may be split",
+            max_iter, changed,
+        )
 
     return labels.select(
         "name",

@@ -47,17 +47,58 @@ def accumulate_edges(links: DataFrame, src_col: str = "src_id",
 
 # ---------------------------------------------------------------------------
 # S5: dense-id node/edge export (ref api.rs:363-447 / main.rs:288-327).
-# Dense ids via a sorted dense_rank over url — deterministic, matching the
-# reference's sorted-files enumeration (api.rs:368-375).
+# Dense ids match the reference's sorted-files enumeration (api.rs:368-375)
+# WITHOUT a global single-partition sort: two-phase rank (range partition →
+# per-partition rank → tiny per-partition offsets), the zipWithIndex
+# mechanic in DataFrame algebra.
 # ---------------------------------------------------------------------------
+def dense_ids(urls: DataFrame, id_col: str = "id",
+              order_col: str = "url", n_parts: int | None = None) -> DataFrame:
+    """(url) [distinct] → (id, url) with id = global 0-based rank by url.
+
+    Range-partitions by ``order_col`` so every partition holds a contiguous
+    url range, ranks within partitions, then adds per-partition offsets
+    (one tiny row per partition — the only driver traffic). The result is
+    the exact global rank regardless of where range boundaries fall, so it
+    scales to any node count; the reference's analog is a driver-side
+    sorted enumeration (api.rs:368-375), impossible at 10^12 nodes."""
+    spark = urls.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        urls.repartitionByRange(n_parts, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the pid assignment: the frame is consumed twice (counts +
+        # rank) and range boundaries must not be re-sampled in between
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w_in = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        part.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            (F.col("_rn") - 1 + F.col("_off")).cast("long").alias(id_col),
+            order_col,
+        )
+    )
+
+
 def dense_export(related: DataFrame) -> tuple[DataFrame, DataFrame]:
     urls = (
         related.select(F.col("page").alias("url"))
         .union(related.select(F.col("other").alias("url")))
         .distinct()
     )
-    w = Window.orderBy("url")
-    nodes = urls.withColumn("id", F.dense_rank().over(w) - 1).select("id", "url")
+    nodes = dense_ids(urls).select("id", "url")
     src = nodes.select(F.col("url").alias("page"), F.col("id").alias("src"))
     dst = nodes.select(F.col("url").alias("other"), F.col("id").alias("dst"))
     edges_out = (

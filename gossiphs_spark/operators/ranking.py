@@ -124,40 +124,41 @@ def attach_cutoffs(df: DataFrame, group_cols: list[str], score_col: str,
     )
     k = max(def_limit, 2)
 
-    df = (
-        df.withColumn("_i", F.dense_rank().over(w_rank) - 1)
-        .withColumn("_mrk", F.row_number().over(w_mrk) == 1)
-        .withColumn("_prev", F.min(score_col).over(w_prev))
-    )
+    # withColumns batches: every withColumn() call re-analyzes the whole
+    # (deep) plan on the driver — batching the independent expressions cuts
+    # the per-pipeline plan-build latency measurably
+    df = df.withColumns({
+        "_i": F.dense_rank().over(w_rank) - 1,
+        "_mrk": F.row_number().over(w_mrk) == 1,
+        "_prev": F.min(score_col).over(w_prev),
+    })
     head = F.col("_mrk") & (F.col("_i") < k)
-    df = (
-        df.withColumn("_n", F.sum(head.cast("long")).over(wg))
-        .withColumn("_top", F.max(score_col).over(wg))
-        .withColumn("_last", F.min(F.when(head, s)).over(wg))
-    )
+    df = df.withColumns({
+        "_n": F.sum(head.cast("long")).over(wg),
+        "_top": F.max(score_col).over(wg),
+        "_last": F.min(F.when(head, s)).over(wg),
+    })
     x = F.col("_i") / (F.col("_n") - 1)
     y = s / F.col("_top")
     y_last = F.col("_last") / F.col("_top")
     dist = (F.lit(1.0) + (y_last - F.lit(1.0)) * x) - y
-    df = df.withColumn(
-        "_dist",
-        F.when(head & (F.col("_n") > 2) & (F.col("_top") > 0), dist),
-    ).withColumn(
-        "_drop",
-        F.when(
+    df = df.withColumns({
+        "_dist": F.when(head & (F.col("_n") > 2) & (F.col("_top") > 0), dist),
+        "_drop": F.when(
             head & (F.col("_i") >= 1) & (F.col("_prev") > 0),
             (F.col("_prev") - s) / F.col("_prev"),
         ),
-    )
+    })
     w_knee = Window.partitionBy(*group_cols).orderBy(
         F.desc_nulls_last("_dist"), F.asc("_i")
     )
     w_drop = Window.partitionBy(*group_cols).orderBy(
         F.desc_nulls_last("_drop"), F.asc("_i")
     )
-    df = df.withColumn("_knee_rn", F.row_number().over(w_knee)).withColumn(
-        "_drop_rn", F.row_number().over(w_drop)
-    )
+    df = df.withColumns({
+        "_knee_rn": F.row_number().over(w_knee),
+        "_drop_rn": F.row_number().over(w_drop),
+    })
     knee_raw = F.max(
         F.when((F.col("_knee_rn") == 1) & F.col("_dist").isNotNull(), s)
     ).over(wg)

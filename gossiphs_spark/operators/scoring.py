@@ -108,12 +108,13 @@ def entropy_zscore_adjust(scored: DataFrame, group_cols: list[str],
                           physical_col: str = "has_physical") -> DataFrame:
     wg = Window.partitionBy(*group_cols)
     s = F.col(score_col)
-    df2 = (
-        scored.withColumn("grp_sum", F.sum(s).over(wg))
-        .withColumn("grp_cnt", F.count("*").over(wg))
-        .withColumn("grp_mean", F.avg(s).over(wg))
-        .withColumn("grp_std", F.coalesce(F.stddev_pop(s).over(wg), F.lit(0.0)))
-    )
+    # one withColumns batch: each withColumn() re-analyzes the whole plan
+    df2 = scored.withColumns({
+        "grp_sum": F.sum(s).over(wg),
+        "grp_cnt": F.count("*").over(wg),
+        "grp_mean": F.avg(s).over(wg),
+        "grp_std": F.coalesce(F.stddev_pop(s).over(wg), F.lit(0.0)),
+    })
     # guard the division: the reference only enters this branch when the
     # group sum is positive (ref graph.rs:712-713); ANSI mode would raise
     # DIVIDE_BY_ZERO otherwise

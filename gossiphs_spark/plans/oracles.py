@@ -185,6 +185,79 @@ SELECT page, other, score, CAST(rnk AS BIGINT) AS rnk FROM (
 ) WHERE rnk <= 5
 """
 
+ORACLES["o8_hub_damped_counts"] = KG + """,
+dftbl AS (
+  SELECT name, CAST(COUNT(DISTINCT url) AS BIGINT) AS df
+  FROM kept_defs GROUP BY name
+),
+hot AS (
+  SELECT d.name FROM dftbl d
+  WHERE d.df > GREATEST(
+    CAST(FLOOR(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) * 0.78) AS BIGINT), 1)
+),
+keptm AS (
+  SELECT f.name, CAST(COUNT(*) AS BIGINT) AS n_kept FROM filtered f
+  WHERE f.name NOT IN (SELECT name FROM hot) GROUP BY f.name
+)
+SELECT t.name, t.df, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM dftbl t LEFT JOIN keptm k ON t.name = k.name
+"""
+
+ORACLES["w4_related_filtered"] = KG + """,
+w4ds AS (SELECT DISTINCT page, score AS s FROM related),
+w4ranked AS (
+  SELECT page, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY page ORDER BY s DESC) AS BIGINT) - 1 AS i
+  FROM w4ds
+),
+w4stats AS (
+  SELECT page, s, i,
+         COUNT(*) OVER (PARTITION BY page) AS n,
+         MAX(s) OVER (PARTITION BY page) AS top,
+         MIN(s) OVER (PARTITION BY page) AS last,
+         LAG(s) OVER (PARTITION BY page ORDER BY s DESC) AS prev
+  FROM w4ranked
+),
+w4knee0 AS (
+  SELECT *,
+    CASE WHEN n <= 2 OR top <= 0 THEN NULL
+         ELSE (1.0 + (CAST(last AS DOUBLE) / top - 1.0)
+               * (CAST(i AS DOUBLE) / (n - 1))) - CAST(s AS DOUBLE) / top
+    END AS dist,
+    CASE WHEN prev IS NOT NULL AND prev > 0
+         THEN (CAST(prev AS DOUBLE) - s) / prev END AS drp
+  FROM w4stats
+),
+w4knee1 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY page ORDER BY dist DESC NULLS LAST, i ASC) AS knee_rn,
+    ROW_NUMBER() OVER (PARTITION BY page ORDER BY drp DESC NULLS LAST, i ASC) AS drop_rn
+  FROM w4knee0
+),
+w4cut AS (
+  SELECT page,
+    CAST(GREATEST(
+      CASE WHEN MAX(n) <= 2 THEN MIN(s)
+           WHEN MAX(top) <= 0 THEN MAX(CASE WHEN i = 0 THEN s END)
+           ELSE MAX(CASE WHEN knee_rn = 1 AND dist IS NOT NULL THEN s END) END,
+      COALESCE(MAX(CASE WHEN drop_rn = 1 AND drp IS NOT NULL THEN prev END),
+               MAX(CASE WHEN i = 0 THEN s END))) AS BIGINT) AS cutoff
+  FROM w4knee1 GROUP BY page
+),
+w4rel AS (
+  SELECT r.page, r.other, r.score, c.cutoff,
+         ROW_NUMBER() OVER (PARTITION BY r.page ORDER BY r.score DESC, r.other ASC) AS rn
+  FROM related r JOIN w4cut c ON r.page = c.page
+),
+w4kept AS (
+  SELECT *,
+    SUM(CASE WHEN score >= cutoff THEN 1 ELSE 0 END) OVER (PARTITION BY page) AS n_kept
+  FROM w4rel
+)
+SELECT page, other, score FROM w4kept
+WHERE (CASE WHEN n_kept < 2 THEN rn <= 2 ELSE score >= cutoff END) AND rn <= 4
+"""
+
 ORACLES["j7_trigram_fallback"] = KG + """,
 tri AS (
   SELECT url, name || ' ' || w2 || ' ' || w3 AS name3, kind FROM (

@@ -5,7 +5,7 @@ Composes every stage end-to-end, mirroring Graph::from
 
   pages ──U1──> mentions ──F5/F6/F7──> defs/refs/imports
      evidence ──F8──> valid ──A4──> decayed cardinality
-  refs ⋈ defs (J1 exact + J2 base-name)         → candidates
+  refs ⋈ defs (J1 exact + J2 base-name, gated + hub-damped) → candidates
   candidates × [A3 idf ⊗ broadcast]
              × [J3/J4 physical evidence]
              × [J5/A5/A6 decayed co-occurrence Jaccard]
@@ -33,9 +33,10 @@ from pyspark.sql import functions as F
 from gossiphs_spark.config import PipelineConfig
 from gossiphs_spark.functions import base_name, score_bucket
 from gossiphs_spark.operators.extract import extract_mentions, page_symbol_limit
-from gossiphs_spark.operators.ranking import attach_cutoffs
+from gossiphs_spark.operators.ranking import attach_cutoffs, filter_related
 from gossiphs_spark.operators.scoring import entropy_zscore_adjust
 from gossiphs_spark.operators.graphops import salted_sum
+from gossiphs_spark.operators.textmode import damp_hubs, hub_stoplist
 
 
 @dataclass
@@ -51,11 +52,10 @@ def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
     """F7 with the dotted-name paths (ref graph.rs:370-403):
       DEF kept iff ∃REF: ref.name == def.name  ∨  ref.name ends with '.'+def.name
       REF kept iff ∃DEF: def.name == ref.name  ∨  base(ref.name) ∈ base(def.names)
-      IMPORT/NAMESPACE always kept; F6 length floor first."""
-    m = m.filter(
-        (F.length("name") > symbol_len_limit)
-        | F.col("kind").isin("IMPORT", "NAMESPACE")
-    )
+      IMPORT/NAMESPACE kept (subject to F6); F6 length floor applies to
+      EVERY kind before the kind split (ref graph.rs filter_pointless_symbols
+      runs the len() check unconditionally first)."""
+    m = m.filter(F.length("name") > symbol_len_limit)
     defs = m.filter(F.col("kind") == "DEF")
     refs = m.filter(F.col("kind") == "REF")
     rest = m.filter(F.col("kind").isin("IMPORT", "NAMESPACE"))
@@ -74,11 +74,16 @@ def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
         .where(F.col("name") != "")
         .distinct()
     )
-    def_keep_names = ref_names.union(ref_suffixes).distinct()
+    # name dictionaries are vocabulary-bounded (same assumption as the
+    # broadcast IDF map) — broadcasting the semi-join right sides keeps the
+    # corpus-sized mention table un-shuffled through this whole block
+    def_keep_names = F.broadcast(ref_names.union(ref_suffixes).distinct())
     kept_defs = defs.join(def_keep_names, "name", "left_semi")
 
-    def_names = defs.select("name").distinct()
-    def_base_names = def_names.select(base_name(F.col("name")).alias("base")).distinct()
+    def_names = F.broadcast(defs.select("name").distinct())
+    def_base_names = F.broadcast(
+        defs.select(base_name(F.col("name")).alias("base")).distinct()
+    )
     refs_b = refs.withColumn("base", base_name(F.col("name")))
     kept_refs = (
         refs_b.join(def_names, "name", "left_semi")
@@ -93,12 +98,22 @@ def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
     return kept_defs.unionByName(kept_refs).unionByName(rest)
 
 
-def _candidates(defs: DataFrame, refs: DataFrame) -> DataFrame:
+def _candidates(defs: DataFrame, refs: DataFrame,
+                signal_pages: DataFrame | None = None) -> DataFrame:
     """J1 exact + J2 base-name fallback at the (ref_url, ref_name) grain
-    (ref graph.rs:620-645). ``occ`` carries occurrence multiplicity."""
+    (ref graph.rs:620-645). ``occ`` carries occurrence multiplicity.
+
+    ``signal_pages`` is the per-file gate (ref graph.rs:608-618): ref pages
+    absent from it emit no candidates. Applied AFTER the (ref_url,
+    ref_name) rollup — the gate then shuffles the compact grain table, not
+    the full mention stream (at web scale refs ≫ ref_groups)."""
     ref_groups = refs.groupBy(
         F.col("url").alias("ref_url"), F.col("name").alias("ref_name")
     ).agg(F.count("*").alias("occ"))
+    if signal_pages is not None:
+        ref_groups = ref_groups.join(
+            signal_pages.select(F.col("url").alias("ref_url")), "ref_url", "left_semi"
+        )
 
     d = defs.select(
         F.col("url").alias("def_url"),
@@ -110,7 +125,7 @@ def _candidates(defs: DataFrame, refs: DataFrame) -> DataFrame:
         d, F.col("ref_name") == F.col("def_name")
     ).withColumn("is_exact", F.lit(True))
 
-    exact_names = d.select(F.col("def_name").alias("ref_name")).distinct()
+    exact_names = F.broadcast(d.select(F.col("def_name").alias("ref_name")).distinct())
     base_candidates = (
         ref_groups.join(exact_names, "ref_name", "left_anti")
         .unionByName(
@@ -137,12 +152,21 @@ def _physical_evidence(cands: DataFrame, imports: DataFrame) -> DataFrame:
 
     Web form: an outlink whose (normalized) target equals the def page's
     url is an explicit import; same host+directory ≅ same package. Both
-    are equi-joins on normalized keys — never a theta/cross join."""
-    imp = imports.select(
-        F.col("url").alias("ref_url"),
-        F.regexp_replace(F.col("name"), "[\"'<>]", "").alias("def_url"),
-        F.lit(True).alias("imported"),
-    ).distinct()
+    are equi-joins on normalized keys — never a theta/cross join. The
+    import side runs through the U3 resolution ladder (relative ./ ../,
+    scheme-relative //host) so non-absolute hrefs still earn the explicit-
+    import signal, mirroring the reference's is_file_matches_import."""
+    from gossiphs_spark.operators.outlinks import resolve_url
+
+    imp = (
+        imports.select(
+            F.col("url").alias("ref_url"),
+            resolve_url(F.col("url"), F.col("name")).alias("def_url"),
+            F.lit(True).alias("imported"),
+        )
+        .filter(F.col("def_url").isNotNull())
+        .distinct()
+    )
     cands = cands.join(imp, ["ref_url", "def_url"], "left").fillna(
         {"imported": False}
     )
@@ -167,7 +191,17 @@ def build_graph(
     # idf/triples) — cache it or Arrow extraction re-executes per branch.
     # The reference extracts exactly once (graph.rs:504-508); so do we.
     mentions = mentions.cache()
-    fm = filter_pointless_full(mentions, cfg.symbol_len_limit).cache()  # F6+F7
+    # fm is referenced by ~25 downstream joins/unions — prune to the 4
+    # columns the scoring tail needs before caching. (Plan-depth note: a
+    # localCheckpoint here would also truncate the analyzed tree and cut
+    # driver latency, but it strips Catalyst size stats from everything
+    # downstream — measured 38.8 s → 70-110 s at sf0.1 as ~10 small-side
+    # joins degraded from broadcast to sort-merge. cache keeps the stats.)
+    fm = (
+        filter_pointless_full(mentions, cfg.symbol_len_limit)  # F6+F7
+        .select("url", "name", "kind", "start_byte")
+        .cache()
+    )
     defs = fm.filter(F.col("kind") == "DEF")
     refs = fm.filter(F.col("kind") == "REF")
     imports = fm.filter(F.col("kind") == "IMPORT")
@@ -181,7 +215,7 @@ def build_graph(
     ev = ev.join(
         F.broadcast(sizes.filter(F.col("n_urls") < limit).select("evidence_id")),
         "evidence_id", "left_semi",
-    ).cache()  # consumed by anchor, cardinality, and the pair-intersection join
+    ).cache()  # consumed by anchor, cardinality, pair-intersection, gate
     anchor_row = ev.agg(F.max("ts").alias("mx")).collect()[0]
     anchor = anchor_row["mx"]
     if cfg.temporal_decay and anchor is not None:
@@ -194,8 +228,24 @@ def build_graph(
     evd = ev.select("url", "evidence_id", decay_w.alias("w")).cache()
     card = evd.groupBy("url").agg(F.sum("w").alias("card"))
 
+    # ---- per-file gate (ref graph.rs:608-618) ------------------------------
+    # A ref page with neither a valid-evidence snapshot nor an explicit
+    # import emits NO candidate links (the reference's `continue`). Applies
+    # only to the main candidate loop — the J7 fallback pass below uses the
+    # global ref table unconditionally, as the reference does (graph.rs:801+).
+    signal_pages = ev.select("url").unionByName(imports.select("url")).distinct()
+
+    # ---- hub-entity damping (SURVEY §4 O8; ref graph.rs:916-918) -----------
+    # A name defined in > max_def_ratio × pages is noise: at 10^12 docs it
+    # would explode the J1 join *inside* the join (def_limit only prunes
+    # after). The stoplist is tiny (distinct hot names) → broadcast anti-join
+    # (map-side, no shuffle) on both join inputs before candidate generation.
+    stoplist = hub_stoplist(defs, n_pages, cfg.max_def_ratio)
+    cand_defs = damp_hubs(defs, stoplist)
+    cand_refs = damp_hubs(refs, stoplist)
+
     # ---- candidates (J1/J2) ----------------------------------------------
-    cands = _candidates(defs, refs)
+    cands = _candidates(cand_defs, cand_refs, signal_pages)
     cands = _physical_evidence(cands, imports)
 
     # ---- co-occurrence restricted to candidate pairs (J5/A5) -------------
@@ -251,10 +301,11 @@ def build_graph(
     scored = scored.filter(
         F.col("has_physical") | (F.col("score") >= cfg.min_score)
     )
-    # cache: group_cutoffs both derives per-group cutoffs from `scored` and
-    # joins them back onto it — without caching, the whole scoring DAG
-    # (5 joins + 6 windows) executes twice per consumer
-    scored = scored.withColumn("bucket", score_bucket(F.col("score"))).cache()
+    # NO cache here: attach_cutoffs is join-free and every window below
+    # shares the (ref_url, ref_name) hash partitioning with the entropy
+    # windows above — one exchange feeds entropy → min_score filter →
+    # cutoffs → rank in a single stage; `kept` (the only consumer) caches.
+    scored = scored.withColumn("bucket", score_bucket(F.col("score")))
 
     # ---- W1 knee/max-drop pruning + hard cap (ref graph.rs:743-795) ------
     # attach_cutoffs computes the knee join-free: every window shares the
@@ -294,9 +345,11 @@ def build_graph(
     )
 
     # ---- A8: page-level edge accumulation (salted two-phase) -------------
+    # cache: consumed by page_edges, incoming AND outgoing — without it the
+    # kept-union-fallback chain re-executes once per consumer
     sym_edges = kept.select(
         "ref_url", "ref_name", "occ", "def_url", "def_name", "bucket"
-    ).unionByName(fallback)
+    ).unionByName(fallback).cache()
     page_edges = salted_sum(
         sym_edges.withColumn("w_total", F.col("bucket") * F.col("occ")),
         ["ref_url", "def_url"], "w_total", "ref_name",
@@ -336,6 +389,12 @@ def build_graph(
         .agg(F.sum("w").alias("score"))
         .filter(F.col("score") > 0)  # F10 ignore_zero
     )
+    # ---- W4: output-level related filter (ref api.rs:69-107) --------------
+    if cfg.file_min_links > 0 or cfg.file_max_links > 0:
+        related = filter_related(
+            related, ["page"], "score", "other",
+            cfg.file_min_links, cfg.file_max_links,
+        ).select("page", "other", "score")
 
     # ---- triples (north_star output contract) ----------------------------
     titles = mentions.filter(F.col("kind") == "DEF").select(
@@ -369,13 +428,16 @@ def build_graph(
     )
 
 
-def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
+def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
+                         cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """U4 post-stage (north_star): map subj/obj surface forms to canonical
     entities via blocking + MinHash-LSH components, then re-aggregate —
     near-duplicate surface forms collapse into one node before the graph
-    materializes. The entity dictionary (distinct names) is orders of
-    magnitude smaller than the triple stream, so the two mapping joins
-    broadcast it."""
+    materializes. The entity dictionary (distinct names) is usually orders
+    of magnitude smaller than the triple stream, so the two mapping joins
+    broadcast it — but only below ``cfg.broadcast_threshold_rows``: at
+    10^12 docs the distinct-name dictionary can exceed broadcast limits,
+    in which case the maps stay shuffle joins (AQE may still promote)."""
     from gossiphs_spark.operators.canonicalize import canonical_entities
 
     names = (
@@ -383,7 +445,15 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6) -> DataFr
         .union(triples.select(F.col("obj").alias("name")))
         .distinct()
     )
-    ents = canonical_entities(names, jaccard_min=jaccard_min).cache()
+    ents = canonical_entities(
+        names,
+        n_perms=cfg.minhash_perms,
+        rows_per_band=max(cfg.minhash_perms // cfg.minhash_bands, 1),
+        jaccard_min=jaccard_min,
+    ).cache()
+    hint = (
+        F.broadcast if ents.count() <= cfg.broadcast_threshold_rows else (lambda d: d)
+    )
     subj_map = ents.select(
         F.col("name").alias("subj"), F.col("canonical_name").alias("canon_subj")
     )
@@ -391,8 +461,8 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6) -> DataFr
         F.col("name").alias("obj"), F.col("canonical_name").alias("canon_obj")
     )
     return (
-        triples.join(F.broadcast(subj_map), "subj", "left")
-        .join(F.broadcast(obj_map), "obj", "left")
+        triples.join(hint(subj_map), "subj", "left")
+        .join(hint(obj_map), "obj", "left")
         .select(
             F.coalesce("canon_subj", "subj").alias("subj"),
             "pred",

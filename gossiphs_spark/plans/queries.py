@@ -21,7 +21,7 @@ from gossiphs_spark.functions import base_name, md5_long, temporal_decay
 from gossiphs_spark.operators import textmode as tm
 from gossiphs_spark.operators import scoring as sc
 from gossiphs_spark.operators.ranking import group_cutoffs
-from gossiphs_spark.operators.graphops import snapshot_diff
+from gossiphs_spark.operators.graphops import dense_ids, snapshot_diff
 from gossiphs_spark.sources.testdata import doc_pages, evidence, load_table
 
 N_DOCS_CACHE: dict[str, int] = {}
@@ -156,6 +156,35 @@ def w8_topk_neighbors(spark, sf_dir):
     )
 
 
+def o8_hub_damped_counts(spark, sf_dir):
+    """O8 hub-entity damping (wired into build_graph; ref graph.rs:916-918
+    declares the knob, SURVEY §4 O8 makes it mandatory at web scale): per
+    name, defining-page df + surviving mention count after the stoplist
+    anti-join (hot names → n_kept = 0). Ratio 0.78 splits the sf0.01
+    vocabulary 12 hot / 12 kept, so both branches are non-vacuous."""
+    defs, refs = _defs_refs(spark, sf_dir)
+    stop = tm.hub_stoplist(defs, _ndocs(spark, sf_dir), max_def_ratio=0.78)
+    kept = tm.damp_hubs(defs.unionByName(refs), stop)
+    per_name = kept.groupBy("name").agg(F.count("*").alias("n_kept"))
+    df_tbl = defs.groupBy("name").agg(F.countDistinct("url").cast("long").alias("df"))
+    return (
+        df_tbl.join(per_name, "name", "left")
+        .fillna({"n_kept": 0})
+        .select("name", "df", F.col("n_kept").cast("long").alias("n_kept"))
+    )
+
+
+def w4_related_filtered(spark, sf_dir):
+    """W4 output-level related filter (wired into build_graph; ref
+    api.rs:69-107): knee/max-drop cutoff per page, min-floor 2, hard cap 4."""
+    from gossiphs_spark.operators.ranking import filter_related
+
+    rel = _related(spark, sf_dir)
+    out = filter_related(rel, ["page"], "score", "other",
+                         file_min_links=2, file_max_links=4)
+    return out.select("page", "other", F.col("score").cast("long").alias("score"))
+
+
 def j7_trigram_fallback(spark, sf_dir):
     """J7 over trigram entities (rare enough to have unique defs)."""
     m = _mentions(spark, sf_dir)
@@ -206,8 +235,8 @@ def s5_dense_export(spark, sf_dir):
         .union(rel.select(F.col("other").alias("url")))
         .distinct()
     )
-    w = Window.orderBy("url")
-    nodes = urls.withColumn("id", (F.dense_rank().over(w) - 1).cast("long"))
+    # two-phase global rank (graphops.dense_ids) — no single-partition sort
+    nodes = dense_ids(urls)
     src = nodes.select(F.col("url").alias("page"), F.col("id").alias("src"))
     dst = nodes.select(F.col("url").alias("other"), F.col("id").alias("dst"))
     return rel.join(src, "page").join(dst, "other").select(
@@ -373,11 +402,14 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
     # top-50 most similar pairs, deterministic tie-break — the synthetic
     # corpus has no true near-dups (max jacc ≈ 0.02), so a threshold query
-    # would be vacuously empty; ranking exercises the full computation
-    w = Window.orderBy(F.desc("jacc"), F.asc("doc_a"), F.asc("doc_b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 50)
+    # would be vacuously empty; ranking exercises the full computation.
+    # orderBy().limit() plans as TakeOrderedAndProject (distributed top-k
+    # with per-partition pruning); the rank column attaches to the 50-row
+    # result — never a full-data single-partition window.
+    order = [F.desc("jacc"), F.asc("doc_a"), F.asc("doc_b")]
+    top = scored.orderBy(*order).limit(50)
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
     )
 
 

@@ -47,6 +47,25 @@ def test_kill_resume_equals_oneshot(spark, outdirs):
     assert lineage.materialize_triples(spark, pages, resumed_dir, "run-b3", n_buckets=4) == []
 
 
+def test_read_triples_ignores_uncommitted_dirs(spark, tmp_path):
+    """A reader must see ONLY lineage-committed buckets: stray directories
+    matching the committed naming (torn copies, older layouts, a rename
+    that landed without its lineage row) are invisible."""
+    out = str(tmp_path / "stray")
+    pages, _, _ = pages_df(spark, n_pages=20, seed=5)
+    lineage.materialize_triples(spark, pages, out, "run-s", n_buckets=2)
+    expected = lineage.read_triples(spark, out).count()
+
+    # stray dir that a glob would match but no lineage row commits
+    stray = os.path.join(out, "triples_bucket=00099")
+    lineage.read_triples(spark, out).limit(5).write.parquet(stray)
+    assert lineage.read_triples(spark, out).count() == expected
+
+    # empty output dir: explicit error, not an empty scan
+    with pytest.raises(FileNotFoundError):
+        lineage.read_triples(spark, str(tmp_path / "nothing"))
+
+
 def test_lineage_rows_recorded(spark, tmp_path):
     out = str(tmp_path / "lin")
     pages, _, _ = pages_df(spark, n_pages=20, seed=5)

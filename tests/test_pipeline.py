@@ -78,6 +78,79 @@ def test_hub_candidates_bounded(graph):
     assert top is not None  # pipeline produced candidates at all
 
 
+def _toy_pages(spark, rows):
+    """rows: list of (url, title, body, links). Evidence: one snapshot per
+    page (every page passes the per-file gate)."""
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    pages, ev = [], []
+    for url, title, body, links in rows:
+        anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+        html = (
+            f"<html><head><title>{title}</title></head>"
+            f"<body><h1>{title}</h1><p>{body}</p>{anchors}</body></html>"
+        )
+        pages.append((url, ts, html.encode(), None, "en"))
+        ev.append((url, f"snap-{url}", ts))
+    pdf = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    edf = spark.createDataFrame(ev, "url string, evidence_id string, ts timestamp")
+    return pdf, edf
+
+
+def test_hub_damping_bounds_candidate_join(spark):
+    """O8: a name DEFINED in >max_def_ratio of pages is noise — it must
+    produce zero candidate rows (damped IN the join, not pruned after)."""
+    rows = []
+    for i in range(30):
+        url = f"https://h.example/p/{i:02d}.html"
+        title = "HotStar" if i % 2 == 0 else f"Rarity{i:02d}"
+        body = f"mentions HotStar and Rarity{(i + 1) % 30:02d} here"
+        rows.append((url, title, body, []))
+    pages, ev = _toy_pages(spark, rows)
+
+    g = build_graph(spark, pages, ev, PipelineConfig(max_def_ratio=0.1))
+    assert g.candidates.filter(F.col("def_name") == "HotStar").count() == 0
+    # the rare names still link
+    assert g.candidates.filter(F.col("def_name").startswith("Rarity")).count() > 0
+    # with the knob off (ratio 1.0 -> limit = n_pages) the hub links again
+    g2 = build_graph(spark, pages, ev, PipelineConfig(max_def_ratio=1.0))
+    assert g2.candidates.filter(F.col("def_name") == "HotStar").count() > 0
+
+
+def test_per_file_gate_no_evidence_no_imports(spark):
+    """ref graph.rs:608-618: a ref page with neither valid evidence nor an
+    explicit import emits no candidate links."""
+    rows = [
+        ("https://g.example/a.html", "AlphaTitle", "BetaTitle words", []),
+        ("https://g.example/b.html", "BetaTitle", "AlphaTitle words", []),
+    ]
+    pages, ev = _toy_pages(spark, rows)
+    # strip page a's evidence: it has no imports either -> gated out
+    ev_gated = ev.filter(F.col("url") != "https://g.example/a.html")
+    g = build_graph(spark, pages, ev_gated, PipelineConfig())
+    assert g.candidates.filter(
+        F.col("ref_url") == "https://g.example/a.html"
+    ).count() == 0
+    assert g.candidates.filter(
+        F.col("ref_url") == "https://g.example/b.html"
+    ).count() > 0
+
+
+def test_w4_file_max_links_caps_related(spark):
+    pages, evidence, _ = pages_df(spark, n_pages=40, seed=7)
+    cfg = PipelineConfig(file_max_links=2)
+    g = build_graph(spark, pages, evidence, cfg)
+    over = (
+        g.related.groupBy("page").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 2)
+    )
+    assert over.count() == 0
+    assert g.related.count() > 0
+
+
 def test_deterministic_across_runs(spark):
     pages, evidence, _ = pages_df(spark, n_pages=30, seed=11)
     cfg = PipelineConfig()
