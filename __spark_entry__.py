@@ -70,6 +70,7 @@ _QUERY_NAMES = [
     "tq_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_search",
     # rows-only (no SQL-expressible oracle; driver records the weaker check)
     "mm_decode_stub",
     "kg_build_related",

@@ -616,6 +616,58 @@ SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
 ) WHERE rnk <= 10
 """
 
+ORACLES["ann_ivf_search"] = """
+WITH emb0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS di, unnest(v) AS x FROM emb0
+),
+vpd AS (
+  SELECT vec_id, di,
+    (CASE WHEN CAST(('0x' || substring(md5(CAST(label AS VARCHAR) || '#' || CAST(di - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+          THEN 1.0 ELSE -1.0 END) + 0.5 * x AS x
+  FROM dims
+),
+emb AS (SELECT vec_id, list(x ORDER BY di) AS v FROM vpd GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+c AS (SELECT vec_id, v FROM emb WHERE vec_id >= 5),
+cents AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+ac AS (
+  SELECT c.vec_id, ct.cid,
+    ROUND(list_dot_product(c.v, ct.cv)
+          / (SQRT(list_dot_product(c.v, c.v)) * SQRT(list_dot_product(ct.cv, ct.cv))), 6) AS cosc
+  FROM c, cents ct
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ac
+  ) WHERE rn = 1
+),
+pq AS (
+  SELECT q.query_id, q.qv, ct.cid,
+    ROUND(list_dot_product(q.qv, ct.cv)
+          / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(ct.cv, ct.cv))), 6) AS cosc
+  FROM q, cents ct
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosc DESC, cid ASC) AS rn FROM pq
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+    ROUND(list_dot_product(p.qv, c.v)
+          / (SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(c.v, c.v))), 4) AS cos
+  FROM probes p JOIN assign a ON p.cid = a.cid JOIN c ON a.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
 ORACLES["ann_lsh_buckets"] = """
 WITH emb AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label

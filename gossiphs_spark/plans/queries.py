@@ -560,6 +560,37 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _emb_clustered(spark, sf_dir):
+    """Deterministic clustered fixture for the ANN search join: the raw
+    embeddings are isotropic noise (intra-label cos ≈ inter ≈ 0.001 — NO
+    index can prune that, measured sign-LSH recall ≤ 0.24 at any usable
+    candidate fraction), so the query derives structure from the same
+    parquet: v' = center(label) + 0.5·v with center_d(label) = ±1 by md5
+    parity of 'label#d'. The oracle applies the identical construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def sign(i):
+        h = md5_long(F.concat(F.col("label").cast("string"), F.lit("#"), i.cast("string")))
+        return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    vp = F.transform("embedding", lambda x, i: sign(i) + 0.5 * x.cast("double"))
+    return e.select(F.col("vec_id").cast("long").alias("vec_id"), vp.alias("v"))
+
+
+def ann_ivf_search(spark, sf_dir):
+    """Bucketed ANN search join (IVF-Flat, sampled centroids): probe 3 of
+    16 centroids, cosine-score only in-bucket candidates — recall 1.0 vs
+    brute force on the clustered fixture while scanning ~19% of it."""
+    from gossiphs_spark.operators.ann import ivf_search
+
+    emb = _emb_clustered(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return ivf_search(cands, queries, n_centroids=16, nprobe=3, k=10)
+
+
 # ---------------------------------------------------------------- rows-only
 # (no DuckDB oracle — the driver records the weaker rows-only check)
 def _detach(spark, df):

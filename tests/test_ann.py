@@ -1,0 +1,80 @@
+"""ANN search-join quality gate: IVF top-k must reach recall >= 0.9 vs
+brute-force cosine top-k on the clustered fixture (VERDICT r1 item 5).
+
+The raw embeddings table is isotropic noise — no index can prune it (the
+docstrings in operators/ann.py and plans/queries._emb_clustered record
+the measured negative results) — so recall is asserted on the same
+deterministic label-clustered derivation the oracle query uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gossiphs_spark.operators.ann import cosine, ivf_search
+from gossiphs_spark.plans.queries import _emb_clustered
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    emb = _emb_clustered(spark, SF_DIR).cache()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return queries, cands
+
+
+def brute_topk(queries, cands, k=10):
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", F.round(cosine("q", "v"), 4).alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def test_ivf_recall_vs_brute_force(spark, split):
+    queries, cands = split
+    brute = {
+        (r["query_id"], r["vec_id"]) for r in brute_topk(queries, cands).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(cands, queries, n_centroids=16, nprobe=3, k=10).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_ivf_scans_fraction_only(spark, split):
+    """The search join must touch only probed buckets — candidate rows
+    scored ≈ (nprobe/n_centroids) of the corpus, not all of it."""
+    from gossiphs_spark.operators.ann import ivf_assign, sample_centroids
+
+    queries, cands = split
+    cents = sample_centroids(cands, 16)
+    assigned = ivf_assign(cands, cents).cache()
+    n_all = assigned.count()
+    probed = (
+        ivf_search(cands, queries, n_centroids=16, nprobe=3, k=1 << 30)
+        .select("query_id", "vec_id").distinct().groupBy("query_id").count()
+    )
+    worst = probed.agg(F.max("count")).collect()[0][0]
+    assert worst < 0.5 * n_all, f"scanned {worst}/{n_all} candidates"
+
+
+def test_ivf_plan_has_no_crossjoin_on_candidates(spark, split):
+    """Candidate-side scoring must be an equi/broadcast join on cid, never
+    a cartesian product against the query set (the scale gap VERDICT
+    flagged in ann_cosine_topk)."""
+    queries, cands = split
+    plan = ivf_search(cands, queries)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
