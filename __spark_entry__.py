@@ -41,6 +41,7 @@ _QUERY_NAMES = [
     "j2_link_basename",
     "a8_edges",
     "a9_related_pages",
+    "a9_related_with_symbols",
     "w8_topk_neighbors",
     "j7_trigram_fallback",
     "triples_extract",
@@ -55,6 +56,7 @@ _QUERY_NAMES = [
     "w6_entropy_zscore",
     "a13_score_buckets",
     "a10_file_metadata",
+    "a10_metadata_arrays",
     "o8_hub_damped_counts",
     "w4_related_filtered",
     # scalar suite (§2.7)

@@ -114,6 +114,12 @@ def page_record(i: int, n_pages: int, seed: int, body_scale: int = 1) -> tuple:
             title, body_entities, links)
 
 
+def snap_msg(s: int) -> str:
+    """Deterministic snapshot message carrying issue refs — the web analog
+    of commit messages with '#123' tags (ref graph.rs:861-863)."""
+    return f"crawl batch {s} refs #{s % 37} #{(s * 7 + 3) % 37}"
+
+
 def evidence_records(n_pages: int, seed: int) -> list[tuple]:
     evidence = []
     n_snap = max(n_pages // 3, 4)
@@ -123,10 +129,10 @@ def evidence_records(n_pages: int, seed: int) -> list[tuple]:
         ts = EPOCH + timedelta(days=rng3.randrange(0, 720))
         size = 2 + min(int(rng3.expovariate(0.35)), max(n_pages // 4, 2))
         for i in rng3.sample(range(n_pages), min(size, n_pages)):
-            evidence.append((url_of(i), snap_id, ts))
+            evidence.append((url_of(i), snap_id, ts, snap_msg(s)))
     fat_ts = EPOCH + timedelta(days=400)
     for i in range(int(n_pages * 0.9)):
-        evidence.append((url_of(i), "snap-fat", fat_ts))
+        evidence.append((url_of(i), "snap-fat", fat_ts, "full recrawl"))
     return evidence
 
 
@@ -155,7 +161,7 @@ def build_corpus(n_pages: int = 120, seed: int = 7):
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
-EVIDENCE_SCHEMA = "url string, evidence_id string, ts timestamp"
+EVIDENCE_SCHEMA = "url string, evidence_id string, ts timestamp, msg string"
 
 
 def pages_df(spark, n_pages: int = 120, seed: int = 7):
@@ -198,8 +204,8 @@ def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = N
                 ts = EPOCH + timedelta(days=rng3.randrange(0, 720))
                 size = 2 + min(int(rng3.expovariate(0.35)), max(n_pages // 4, 2))
                 for i in rng3.sample(range(n_pages), min(size, n_pages)):
-                    rows.append((url_of(i), snap_id, ts))
-            yield pd.DataFrame(rows, columns=["url", "evidence_id", "ts"])
+                    rows.append((url_of(i), snap_id, ts, snap_msg(s)))
+            yield pd.DataFrame(rows, columns=["url", "evidence_id", "ts", "msg"])
 
     ev_rng = spark.range(n_snap)
     if partitions:
@@ -211,5 +217,6 @@ def pages_df_dist(spark, n_pages: int, seed: int = 7, partitions: int | None = N
         f"'/p/', format_string('%04d', id), '.html') AS url",
         "'snap-fat' AS evidence_id",
         f"timestamp'{(EPOCH + timedelta(days=400)).strftime('%Y-%m-%d %H:%M:%S')}' AS ts",
+        "'full recrawl' AS msg",
     )
     return pdf, edf.unionByName(fat)

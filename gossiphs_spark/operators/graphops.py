@@ -130,6 +130,46 @@ def pairs_between(edges_df: DataFrame, src_url: str, dst_url: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A10 FileMetadata arrays (ref api.rs:128-142, 317-341): per url the sorted
+# symbols[], commits[] (evidence snapshots), and issues[] parsed from the
+# snapshot messages via the '#NNN' regex (ref graph.rs:861-863's analog).
+# One aggregation per dimension + one join — no per-file loop.
+# ---------------------------------------------------------------------------
+ISSUE_RE = r"#([0-9]+)"
+
+
+def file_metadata(mentions: DataFrame, evidence: DataFrame) -> DataFrame:
+    """mentions(url, name, kind) × evidence(url, evidence_id[, msg]) →
+    (url, symbols[], commits[], issues[], n_defs, n_refs)."""
+    syms = mentions.groupBy("url").agg(
+        F.array_sort(F.collect_set("name")).alias("symbols"),
+        F.sum((F.col("kind") == "DEF").cast("long")).alias("n_defs"),
+        F.sum((F.col("kind") == "REF").cast("long")).alias("n_refs"),
+    )
+    ev = evidence
+    if "msg" not in ev.columns:  # provenance without messages: no issues
+        ev = ev.withColumn("msg", F.lit(None).cast("string"))
+    evagg = ev.groupBy("url").agg(
+        F.array_sort(F.collect_set("evidence_id")).alias("commits"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.regexp_extract_all(F.coalesce("msg", F.lit("")), F.lit(ISSUE_RE), 1)
+                    )
+                )
+            )
+        ).alias("issues"),
+    )
+    return (
+        syms.join(evagg, "url", "left")
+        .withColumn("commits", F.coalesce("commits", F.array().cast("array<string>")))
+        .withColumn("issues", F.coalesce("issues", F.array().cast("array<string>")))
+        .select("url", "symbols", "commits", "issues", "n_defs", "n_refs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SO1: snapshot diff (ref main.rs:606-640): link sets of two runs →
 # ADDED (only in new), DELETED (only in old), MODIFIED (in both).
 # Full-outer join on the link key — Iceberg time-travel supplies the two

@@ -200,6 +200,74 @@ def related_pages(edges_df: DataFrame, defs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A9 + related_symbols: the nested "related and WHY" rollup (ref
+# api.rs:108-126 RelatedFileContext, built api.rs:254-283). Each related
+# pair carries the contributing symbols with their direction-adjusted
+# weights (incoming: weight // def_count floored at 1; outgoing: raw), and
+# the other page's def/ref counts — one aggregation tree, no per-file loop.
+# ---------------------------------------------------------------------------
+def related_with_symbols(edges_df: DataFrame, defs: DataFrame,
+                         refs: DataFrame) -> DataFrame:
+    """→ (page, other, score, symbols: array<struct<name,w>>, n_defs, n_refs)."""
+    def_counts = defs.groupBy("url").agg(F.count("*").alias("def_count"))
+    incoming = (
+        edges_df.join(def_counts, edges_df.dst_url == def_counts.url)
+        .select(
+            F.col("dst_url").alias("page"),
+            F.col("src_url").alias("other"),
+            "name",
+            F.greatest(
+                F.floor(F.col("weight") / F.col("def_count")), F.lit(1)
+            ).cast("long").alias("w"),
+        )
+    )
+    outgoing = edges_df.select(
+        F.col("src_url").alias("page"), F.col("dst_url").alias("other"),
+        "name", F.col("weight").cast("long").alias("w"),
+    )
+    per_sym = (
+        incoming.unionByName(outgoing)
+        .groupBy("page", "other", "name")
+        .agg(F.sum("w").alias("w"))
+    )
+    ostats = defs.select("url", F.lit("DEF").alias("kind")).unionByName(
+        refs.select("url", F.lit("REF").alias("kind"))
+    ).groupBy("url").agg(
+        F.sum((F.col("kind") == "DEF").cast("long")).alias("n_defs"),
+        F.sum((F.col("kind") == "REF").cast("long")).alias("n_refs"),
+    )
+    return (
+        per_sym.groupBy("page", "other")
+        .agg(
+            F.sum("w").alias("score"),
+            F.array_sort(F.collect_list(F.struct("name", "w"))).alias("symbols"),
+        )
+        .filter(F.col("score") > 0)  # F10, as in related_pages
+        .join(ostats.withColumnRenamed("url", "other"), "other")
+        .select("page", "other", "score", "symbols", "n_defs", "n_refs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# related_symbols(symbol) (ref api.rs:301-315): the symbol-level neighbor
+# lookup — DEF → its linked references, REF → its linked definitions. In
+# the name-keyed edge model both are slices of the edge table.
+# ---------------------------------------------------------------------------
+def symbol_neighbors(edges_df: DataFrame, name: str,
+                     kind: str = "DEF") -> DataFrame:
+    e = edges_df.filter(F.col("name") == name)
+    if kind == "DEF":
+        return e.select(
+            F.col("dst_url").alias("def_url"),
+            F.col("src_url").alias("neighbor_url"), "name", "weight",
+        )
+    return e.select(
+        F.col("src_url").alias("ref_url"),
+        F.col("dst_url").alias("neighbor_url"), "name", "weight",
+    )
+
+
+# ---------------------------------------------------------------------------
 # W8: top-k neighbors per page (ref api.rs:102-106).
 # ---------------------------------------------------------------------------
 def topk_neighbors(related: DataFrame, k: int) -> DataFrame:

@@ -177,6 +177,36 @@ ORACLES["a9_related_pages"] = KG + f"""
 SELECT page, other, score FROM related WHERE {DOCN.format(col='page')} < 10
 """
 
+ORACLES["a9_related_with_symbols"] = KG + f""",
+rsym_in AS (
+  SELECT e.dst_url AS page, e.src_url AS other, e.name,
+         GREATEST(CAST(FLOOR(e.weight / dc.def_count) AS BIGINT), 1) AS w
+  FROM edges e JOIN defcnt dc ON e.dst_url = dc.url
+),
+rsym_out AS (
+  SELECT src_url AS page, dst_url AS other, name, CAST(weight AS BIGINT) AS w
+  FROM edges
+),
+rsym AS (
+  SELECT page, other, name, CAST(SUM(w) AS BIGINT) AS w
+  FROM (SELECT * FROM rsym_in UNION ALL SELECT * FROM rsym_out) u
+  GROUP BY page, other, name
+),
+ostats AS (
+  SELECT url,
+         CAST(SUM(CASE WHEN kind = 'DEF' THEN 1 ELSE 0 END) AS BIGINT) AS n_defs,
+         CAST(SUM(CASE WHEN kind = 'REF' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs
+  FROM filtered GROUP BY url
+)
+SELECT r.page, r.other, CAST(SUM(r.w) AS BIGINT) AS score,
+       string_agg(r.name || ':' || CAST(r.w AS VARCHAR), '|' ORDER BY r.name, r.w) AS symbols,
+       MAX(o.n_defs) AS n_defs, MAX(o.n_refs) AS n_refs
+FROM rsym r JOIN ostats o ON r.other = o.url
+WHERE {DOCN.format(col='r.page')} < 10
+GROUP BY r.page, r.other
+HAVING SUM(r.w) > 0
+"""
+
 ORACLES["w8_topk_neighbors"] = KG + f"""
 SELECT page, other, score, CAST(rnk AS BIGINT) AS rnk FROM (
   SELECT page, other, score,
@@ -484,10 +514,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 100
 """
 
+ORACLES["a10_metadata_arrays"] = """
+WITH base AS (
+  SELECT DISTINCT 'u://' || CAST(user_id AS VARCHAR) AS url,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type
+  FROM events
+),
+d AS (SELECT DISTINCT url, day FROM base),
+t AS (SELECT DISTINCT url, event_type FROM base),
+dc AS (
+  SELECT url, string_agg(day, '|' ORDER BY day) AS commits,
+         CAST(COUNT(*) AS BIGINT) AS n_commits
+  FROM d GROUP BY url
+),
+tc AS (
+  SELECT url, string_agg(event_type, '|' ORDER BY event_type) AS issues,
+         CAST(COUNT(*) AS BIGINT) AS n_issues
+  FROM t GROUP BY url
+)
+SELECT dc.url, dc.commits, tc.issues, dc.n_commits, tc.n_issues
+FROM dc JOIN tc ON dc.url = tc.url
+"""
+
 ORACLES["dd_exact_dups"] = """
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+)
 SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+FROM seeded GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 ORACLES["dd_ngram_jaccard"] = "WITH" + SHINGLE_CTES.format(limit=60) + """,

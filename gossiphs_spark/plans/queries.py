@@ -147,6 +147,29 @@ def a9_related_pages(spark, sf_dir):
     )
 
 
+def a9_related_with_symbols(spark, sf_dir):
+    """related_files WITH the contributing symbols (ref api.rs:108-126):
+    every related pair carries its (name, weight) evidence list plus the
+    other page's def/ref counts. Symbols serialize to a sorted 'name:w|…'
+    string so the value-hash compares across engines."""
+    defs, refs = _defs_refs(spark, sf_dir)
+    e = tm.edges(defs, refs)
+    out = tm.related_with_symbols(e, defs, refs).filter(_doc_num(F.col("page")) < 10)
+    sym_str = F.concat_ws(
+        "|",
+        F.transform(
+            "symbols",
+            lambda x: F.concat(x["name"], F.lit(":"), x["w"].cast("string")),
+        ),
+    )
+    return out.select(
+        "page", "other", F.col("score").cast("long").alias("score"),
+        sym_str.alias("symbols"),
+        F.col("n_defs").cast("long").alias("n_defs"),
+        F.col("n_refs").cast("long").alias("n_refs"),
+    )
+
+
 def w8_topk_neighbors(spark, sf_dir):
     rel = _related(spark, sf_dir).filter(_doc_num(F.col("page")) < 20)
     out = tm.topk_neighbors(rel, 5)
@@ -339,6 +362,27 @@ def a10_file_metadata(spark, sf_dir):
     )
 
 
+def a10_metadata_arrays(spark, sf_dir):
+    """A10 FileMetadata arrays (ref api.rs:128-142; issue dimension from
+    list_file_issues, api.rs:353-361) over the events-derived evidence:
+    commits[] = the url's activity days, issues[] = its event-type labels.
+    Arrays serialize to sorted '|'-joined strings for cross-engine
+    hashing. The html-pipeline twin (regex issues from snapshot messages)
+    is graphops.file_metadata, pytest-covered."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        F.concat(F.lit("u://"), F.col("user_id").cast("string")).alias("url"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    return per.groupBy("url").agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("day"))).alias("commits"),
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("issues"),
+        F.countDistinct("day").cast("long").alias("n_commits"),
+        F.countDistinct("event_type").cast("long").alias("n_issues"),
+    )
+
+
 def x_scalar_suite(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
@@ -357,9 +401,19 @@ def x_scalar_suite(spark, sf_dir):
 
 # --------------------------------------------------- training-data ops ----
 def dd_exact_dups(spark, sf_dir):
+    """Exact dedup (md5 groupBy — map-side partial agg, no all-pairs). The
+    synthetic corpus is byte-dup-free, so the query seeds 20 exact
+    duplicates deterministically (doc_id+100000 mirrors of docs 0-19): a
+    result indistinguishable from LIMIT 0 is not evidence (VERDICT r1).
+    The oracle seeds identically; scale shape is unchanged."""
     d = load_table(spark, sf_dir, "documents")
+    seeded = d.unionByName(
+        d.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
     return (
-        d.groupBy(F.md5("text").alias("text_md5"))
+        seeded.groupBy(F.md5("text").alias("text_md5"))
         .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").cast("long").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )

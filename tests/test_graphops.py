@@ -87,3 +87,29 @@ def test_markdown_vault_sink(spark, tmp_path):
     import glob
 
     assert len(glob.glob(out + "/dir=*/*.txt")) == 2
+
+
+def test_file_metadata_arrays(spark):
+    """A10 arrays (ref api.rs:128-142, 317-341): symbols/commits sorted,
+    issues parsed from snapshot messages via the '#N' regex."""
+    from pyspark.sql import functions as F
+
+    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.operators.extract import extract_mentions
+    from gossiphs_spark.operators.graphops import file_metadata
+
+    pages, evidence, _ = pages_df(spark, n_pages=20, seed=3)
+    m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+    out = file_metadata(m, evidence)
+    rows = out.collect()
+    assert len(rows) == 20
+    with_issues = [r for r in rows if r["issues"]]
+    assert with_issues, "no issues parsed from snapshot messages"
+    for r in rows:
+        assert list(r["symbols"]) == sorted(r["symbols"])
+        assert list(r["commits"]) == sorted(set(r["commits"]))
+        for i in r["issues"]:
+            assert i.isdigit()
+    # evidence without a msg column degrades to empty issues, not an error
+    out2 = file_metadata(m, evidence.drop("msg"))
+    assert all(r["issues"] == [] for r in out2.collect())

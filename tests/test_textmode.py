@@ -91,3 +91,42 @@ def test_unique_def_fallback(spark):
     got = {(r["name"], r["def_url"], r["ref_url"]) for r in out.collect()}
     # 'dup' defined twice → not unique; 'linked' already linked; 'solo' links both refs
     assert got == {("solo", "a", "x"), ("solo", "a", "y")}
+
+
+def test_related_with_symbols_explains_score(spark):
+    """The nested rollup (ref api.rs:108-126): per related pair, the
+    symbol list's weights must sum to exactly the pair's score, and the
+    pair scores must equal the flat related_pages output."""
+    pages = spark.createDataFrame(
+        [
+            ("a", "alpha gamma alpha gamma beta1", "s"),
+            ("b", "alpha beta1 alpha", "s"),
+            ("c", "gamma gamma beta1", "s"),
+        ],
+        "url string, content string, source string",
+    )
+    m = tm.filter_pointless(tm.mentions(pages), 3)
+    defs = m.filter(F.col("kind") == "DEF")
+    refs = m.filter(F.col("kind") == "REF")
+    e = tm.edges(defs, refs)
+    nested = tm.related_with_symbols(e, defs, refs)
+    flat = {(r["page"], r["other"]): r["score"]
+            for r in tm.related_pages(e, defs).collect()}
+    rows = nested.collect()
+    assert rows
+    for r in rows:
+        assert sum(s["w"] for s in r["symbols"]) == r["score"]
+        assert flat[(r["page"], r["other"])] == r["score"]
+        names = [s["name"] for s in r["symbols"]]
+        assert names == sorted(names)
+
+
+def test_symbol_neighbors_slices_edges(spark):
+    pages = spark.createDataFrame(
+        [("a", "alpha beta1 alpha", "s"), ("b", "alpha gamma", "s")],
+        "url string, content string, source string",
+    )
+    m = tm.filter_pointless(tm.mentions(pages), 3)
+    e = tm.edges(m.filter(F.col("kind") == "DEF"), m.filter(F.col("kind") == "REF"))
+    out = tm.symbol_neighbors(e, "alpha", kind="DEF").collect()
+    assert all(r["name"] == "alpha" for r in out)
