@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERY_NAMES = [
     # KG core (SURVEY.md §2.1-2.6)
     "u1_mentions",
+    "u1_md_mentions",
     "f7_pointless_counts",
     "a3_idf",
     "j1_link_exact",

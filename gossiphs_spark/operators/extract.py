@@ -136,6 +136,85 @@ def extract_page(url: str, html: bytes) -> list[tuple]:
     return out
 
 
+# --------------------------------------------------------------------------
+# Markdown profile — second grammar behind the F1 dispatch seam (the
+# reference dispatches 14 per-language rule sets by extension,
+# /root/reference/src/rule.rs:42-252, chosen in graph.rs:117-146; we
+# dispatch per-url inside the same Arrow kernel):
+#   # Heading (first ATX)      → DEF  (the page's canonical entity)
+#   [label](target)            → IMPORT (the link target)
+#   ``` fenced code blocks ``` → NAMESPACE (excluded from REF scan)
+#   Capitalized tokens in body → REF
+# --------------------------------------------------------------------------
+_MD_FENCE_RE = re.compile(r"```.*?```", re.DOTALL)
+_MD_HEAD_RE = re.compile(r"^#{1,6}[ \t]+(.+?)[ \t]*$", re.MULTILINE)
+_MD_LINK_RE = re.compile(r"\[([^\]\n]*)\]\(([^)\n]+)\)")
+
+
+def extract_page_md(url: str, blob: bytes) -> list[tuple]:
+    """One markdown page → mention rows. Pure; same output contract as
+    extract_page (the html profile)."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+    blocked: list[tuple[int, int]] = []
+
+    for fm in _MD_FENCE_RE.finditer(s):
+        blocked.append(fm.span())
+        r0, c0 = _row_col(s, fm.start())
+        r1, c1 = _row_col(s, fm.end())
+        out.append((url, "code", "NAMESPACE", fm.start(), fm.end(), r0, c0, r1, c1))
+
+    title_span = None
+    for hm in _MD_HEAD_RE.finditer(s):
+        if any(hm.start() < y and hm.end() > x for (x, y) in blocked):
+            continue
+        name = hm.group(1).strip()
+        if name:
+            title_span = hm.span(1)
+            r0, c0 = _row_col(s, hm.start(1))
+            r1, c1 = _row_col(s, hm.end(1))
+            out.append((url, name, "DEF", hm.start(1), hm.end(1), r0, c0, r1, c1))
+        break  # first heading is the page entity (title analog)
+
+    link_spans: list[tuple[int, int]] = []
+    for lm in _MD_LINK_RE.finditer(s):
+        if any(lm.start() < y and lm.end() > x for (x, y) in blocked):
+            continue
+        link_spans.append(lm.span())
+        target = lm.group(2).strip().strip("\"'<>")  # F12 trim
+        if target:
+            r0, c0 = _row_col(s, lm.start(2))
+            r1, c1 = _row_col(s, lm.end(2))
+            out.append((url, target, "IMPORT", lm.start(2), lm.end(2), r0, c0, r1, c1))
+
+    def covered(a: int, b: int) -> bool:
+        if title_span and a >= title_span[0] and b <= title_span[1]:
+            return True
+        return any(a < y and b > x for (x, y) in blocked + link_spans)
+
+    for em in _ENTITY_RE.finditer(s):
+        a, b = em.span()
+        if covered(a, b):
+            continue
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, em.group(0), "REF", a, b, r0, c0, r1, c1))
+    return out
+
+
+_PROFILES = {"md": extract_page_md, "markdown": extract_page_md}
+
+
+def profile_of(url: str):
+    """F1 extension dispatch (ref rule.rs:42-252 / graph.rs:117-146): pick
+    the grammar by the url's extension; html is the default profile."""
+    ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else ""
+    return _PROFILES.get(ext, extract_page)
+
+
 ALL_MENTION_COLS = (
     "url", "name", "kind", "start_byte", "end_byte",
     "start_row", "start_col", "end_row", "end_col",
@@ -165,7 +244,7 @@ def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_CO
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(extract_page(url, html))
+                rows.extend(profile_of(url)(url, html))
             if rows:
                 transposed = list(zip(*rows))  # C-level transpose
                 yield pd.DataFrame(

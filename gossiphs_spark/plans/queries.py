@@ -71,6 +71,42 @@ def u1_mentions(spark, sf_dir):
     )
 
 
+def u1_md_mentions(spark, sf_dir):
+    """Markdown profile through the F1 extension dispatch (ref
+    rule.rs:42-252 / graph.rs:117-146): documents render to deterministic
+    markdown (# heading, initcap'd long tokens, one [link]) and run
+    through the REAL Arrow extraction kernel — extract_mentions picks the
+    md grammar from the '.md' url. The oracle recomputes the per-page
+    kind counts from the same construction."""
+    from gossiphs_spark.operators.extract import extract_mentions
+
+    d = load_table(spark, sf_dir, "documents")
+    n = _ndocs(spark, sf_dir)
+    toks = F.transform(
+        F.split("text", " "),
+        lambda t: F.when(F.length(t) >= 6, F.initcap(t)).otherwise(t),
+    )
+    nxt = F.concat(
+        F.lit("doc://"), ((F.col("doc_id") + 1) % n).cast("string"), F.lit("/index.md")
+    )
+    content = F.concat(
+        F.lit("# Doc"), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.array_join(toks, " "),
+        F.lit("\n[more]("), nxt, F.lit(")"),
+    )
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"), F.lit("/index.md")).alias("url"),
+        F.encode(content, "utf-8").alias("html"),
+    )
+    m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+    return m.groupBy("url").agg(
+        F.sum((F.col("kind") == "DEF").cast("long")).alias("n_defs"),
+        F.sum((F.col("kind") == "REF").cast("long")).alias("n_refs"),
+        F.sum((F.col("kind") == "IMPORT").cast("long")).alias("n_imports"),
+        F.max(F.when(F.col("kind") == "DEF", F.col("name"))).alias("title"),
+    )
+
+
 def f7_pointless_counts(spark, sf_dir):
     fm = _filtered(spark, sf_dir)
     return fm.groupBy("url", "kind").agg(F.count("*").cast("long").alias("n"))

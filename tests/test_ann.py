@@ -41,6 +41,7 @@ def brute_topk(queries, cands, k=10):
     )
 
 
+@pytest.mark.smoke
 def test_ivf_recall_vs_brute_force(spark, split):
     queries, cands = split
     brute = {

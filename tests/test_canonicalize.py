@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from gossiphs_spark.operators.canonicalize import (
     canonical_entities,
     lsh_candidate_pairs,
@@ -34,6 +36,7 @@ def test_lsh_blocks_limit_pairs(spark):
     ) or pairs  # structural sanity; exact content checked below
 
 
+@pytest.mark.smoke
 def test_verified_pairs_cluster_near_dups(spark):
     got = {
         frozenset((r["name_a"], r["name_b"]))

@@ -5,6 +5,8 @@ extracted text, and determinism across call sites."""
 
 from __future__ import annotations
 
+import pytest
+
 from gossiphs_spark.operators.extract import extract_page, extract_text
 
 HTML = (
@@ -16,6 +18,7 @@ HTML = (
 )
 
 
+@pytest.mark.smoke
 def test_exact_symbol_set():
     rows = extract_page("u1", HTML)
     got = {(r[1], r[2]) for r in rows}
@@ -64,3 +67,61 @@ def test_empty_and_malformed():
     assert extract_page("u", b"") == []
     rows = extract_page("u", b"<html><body>Pulsar <a href=>x</a></body></html>")
     assert ("Pulsar", "REF") in {(r[1], r[2]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Markdown profile + F1 extension dispatch (ref rule.rs:42-252 dispatch seam)
+# ---------------------------------------------------------------------------
+MD_GOLDEN = b"""# Orbital Survey
+Results from Magnetar and Sol.Quasar observations.
+```
+code Fenced NotARef
+```
+See [the archive](https://example.org/archive.md) and [raw](./raw.html).
+Final Albedo notes.
+"""
+
+
+@pytest.mark.smoke
+def test_md_profile_golden():
+    from gossiphs_spark.operators.extract import extract_page_md
+
+    rows = extract_page_md("doc://1/index.md", MD_GOLDEN)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r)
+    assert [r[1] for r in by_kind["DEF"]] == ["Orbital Survey"]
+    assert sorted(r[1] for r in by_kind["IMPORT"]) == [
+        "./raw.html", "https://example.org/archive.md",
+    ]
+    ref_names = sorted(r[1] for r in by_kind["REF"])
+    # fenced block + heading + link spans excluded; dotted names qualified
+    assert ref_names == ["Albedo", "Final", "Magnetar", "Results", "See", "Sol.Quasar"]
+    assert [r[1] for r in by_kind["NAMESPACE"]] == ["code"]
+    # offsets anchor the source bytes exactly
+    for r in rows:
+        if r[2] in ("DEF", "REF"):
+            s = MD_GOLDEN.decode()
+            assert s[r[3]:r[4]] == r[1]
+
+
+def test_md_profile_dispatches_by_extension(spark):
+    from gossiphs_spark.operators.extract import extract_mentions
+
+    pages = spark.createDataFrame(
+        [
+            ("doc://1/index.md", b"# Title\nMagnetar here"),
+            ("https://h/p.html",
+             b"<html><head><title>Other</title></head><body><p>Magnetar</p></body></html>"),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_mentions(pages, columns=("url", "name", "kind", "start_byte")).collect()
+    defs = {r["url"]: r["name"] for r in rows if r["kind"] == "DEF"}
+    assert defs == {"doc://1/index.md": "Title", "https://h/p.html": "Other"}
+
+
+def test_md_profile_deterministic():
+    from gossiphs_spark.operators.extract import extract_page_md
+
+    assert extract_page_md("u.md", MD_GOLDEN) == extract_page_md("u.md", MD_GOLDEN)

@@ -3,6 +3,8 @@ W4 output-level filter."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gossiphs_spark.operators.graphops import (
@@ -14,6 +16,7 @@ from gossiphs_spark.operators.graphops import (
 from gossiphs_spark.operators.ranking import filter_related
 
 
+@pytest.mark.smoke
 def test_salted_sum_equals_plain_groupby(spark):
     rows = [("hot", f"u{i % 7}", i % 13) for i in range(500)] + [
         ("cold", "u1", 5), ("cold", "u2", 7)
@@ -89,6 +92,7 @@ def test_markdown_vault_sink(spark, tmp_path):
     assert len(glob.glob(out + "/dir=*/*.txt")) == 2
 
 
+@pytest.mark.smoke
 def test_file_metadata_arrays(spark):
     """A10 arrays (ref api.rs:128-142, 317-341): symbols/commits sorted,
     issues parsed from snapshot messages via the '#N' regex."""

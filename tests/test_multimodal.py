@@ -4,11 +4,14 @@ this container) — what's under test is the real Spark-side path."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gossiphs_spark.operators.multimodal import decode_binary_column
 
 
+@pytest.mark.smoke
 def test_decode_schema_and_determinism(spark):
     df = spark.createDataFrame(
         [("u1", b"payload-one"), ("u2", b"payload-two"), ("u3", b""), ("u4", None)],

@@ -3,6 +3,8 @@ harness (SO2/SO3/A13)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gossiphs_spark.evalx import bucketed_quality, false_negatives, precision_recall
@@ -32,6 +34,7 @@ def test_namespace_depth_pruning(spark):
     assert lvl1 == {("outer_def", "DEF"), ("inner_def", "DEF"), ("inner_ref", "REF")}
 
 
+@pytest.mark.smoke
 def test_outlink_resolution(spark):
     # mirrors the reference's relative/absolute/package ladder (graph.rs:51-95)
     imports = spark.createDataFrame(

@@ -50,7 +50,16 @@ def canon(rows, cols):
     return out
 
 
-@pytest.mark.parametrize("name", list(entrymod.oracle_sql().keys()))
+SMOKE_QUERIES = {"x_scalar_suite", "tq_token_stats", "a3_idf", "u1_md_mentions"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.smoke) if n in SMOKE_QUERIES else n
+        for n in entrymod.oracle_sql()
+    ],
+)
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)

@@ -73,6 +73,7 @@ def cutoff_df(spark):
     return {r["grp"]: r for r in out.collect()}
 
 
+@pytest.mark.smoke
 def test_documented_example(cutoff_df):
     r = cutoff_df["g0"]
     assert r["max_drop_cutoff"] == 90

@@ -9,11 +9,14 @@ recasting the reference's in-memory graph tests).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gossiphs_spark.operators import textmode as tm
 
 
+@pytest.mark.smoke
 def test_mentions_offsets_and_kinds(spark):
     pages = spark.createDataFrame(
         [("p1", "alpha beta alpha", "s1")], "url string, content string, source string"
@@ -93,6 +96,7 @@ def test_unique_def_fallback(spark):
     assert got == {("solo", "a", "x"), ("solo", "a", "y")}
 
 
+@pytest.mark.smoke
 def test_related_with_symbols_explains_score(spark):
     """The nested rollup (ref api.rs:108-126): per related pair, the
     symbol list's weights must sum to exactly the pair's score, and the
