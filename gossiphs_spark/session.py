@@ -50,13 +50,23 @@ def _package_zip() -> str:
 AQE_MIN_INPUT_BYTES = 2 * 1024**3
 
 
-def tune_adaptive(spark: SparkSession, approx_input_bytes: int) -> bool:
+def tune_adaptive(spark: SparkSession, approx_input_bytes: int,
+                  small_shuffle_partitions: int = 16) -> bool:
     """Flip AQE by input size (runtime conf — callers set it per job).
 
-    Returns the resulting AQE state. Callers that cannot estimate input
-    size should leave AQE on (the scale-safe default)."""
+    When AQE goes off for a small input, the partition count replaces the
+    one AQE win that still mattered there (coalescing): shuffle partitions
+    cap at ``small_shuffle_partitions`` so ~30 shuffle stages don't launch
+    32 near-empty tasks each (measured 15.9 s → 10.7 s on the 10k-page
+    scored build). Returns the resulting AQE state. Callers that cannot
+    estimate input size should leave AQE on (the scale-safe default)."""
     on = approx_input_bytes >= AQE_MIN_INPUT_BYTES
     spark.conf.set("spark.sql.adaptive.enabled", "true" if on else "false")
+    if not on:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(cur, small_shuffle_partitions))
+        )
     return on
 
 
