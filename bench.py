@@ -28,10 +28,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERY_NAMES = [
     "u1_mentions",
+    "u1_md_mentions",
     "a3_idf",
     "j1_candidate_counts",
     "a8_edges",
     "a9_related_pages",
+    "a9_related_with_symbols",
+    "o8_hub_damped_counts",
+    "w4_related_filtered",
     "w8_topk_neighbors",
     "triples_extract",
     "j5_jaccard_pairs",
@@ -43,6 +47,7 @@ BENCH_QUERY_NAMES = [
     "tq_token_stats",
     "tq_fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_search",
 ]
 
 

@@ -251,8 +251,9 @@ SELECT t.name, t.df, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM dftbl t LEFT JOIN keptm k ON t.name = k.name
 """
 
-ORACLES["w4_related_filtered"] = KG + """,
-w4ds AS (SELECT DISTINCT page, score AS s FROM related),
+ORACLES["w4_related_filtered"] = KG + f""",
+w4rel AS (SELECT * FROM related WHERE {DOCN.format(col='page')} < 50),
+w4ds AS (SELECT DISTINCT page, score AS s FROM w4rel),
 w4ranked AS (
   SELECT page, s,
          CAST(ROW_NUMBER() OVER (PARTITION BY page ORDER BY s DESC) AS BIGINT) - 1 AS i
@@ -292,15 +293,15 @@ w4cut AS (
                MAX(CASE WHEN i = 0 THEN s END))) AS BIGINT) AS cutoff
   FROM w4knee1 GROUP BY page
 ),
-w4rel AS (
+w4ranked2 AS (
   SELECT r.page, r.other, r.score, c.cutoff,
          ROW_NUMBER() OVER (PARTITION BY r.page ORDER BY r.score DESC, r.other ASC) AS rn
-  FROM related r JOIN w4cut c ON r.page = c.page
+  FROM w4rel r JOIN w4cut c ON r.page = c.page
 ),
 w4kept AS (
   SELECT *,
     SUM(CASE WHEN score >= cutoff THEN 1 ELSE 0 END) OVER (PARTITION BY page) AS n_kept
-  FROM w4rel
+  FROM w4ranked2
 )
 SELECT page, other, score FROM w4kept
 WHERE (CASE WHEN n_kept < 2 THEN rn <= 2 ELSE score >= cutoff END) AND rn <= 4

@@ -235,10 +235,13 @@ def o8_hub_damped_counts(spark, sf_dir):
 
 def w4_related_filtered(spark, sf_dir):
     """W4 output-level related filter (wired into build_graph; ref
-    api.rs:69-107): knee/max-drop cutoff per page, min-floor 2, hard cap 4."""
+    api.rs:69-107): knee/max-drop cutoff per page, min-floor 2, hard cap 4.
+    Cutoffs are per-page, so probing pages < 50 BEFORE the filter is
+    exact — without it the dense text-mode related graph (~25M pairs at
+    sf0.1, tiny shared vocabulary) makes a detail-row query quadratic."""
     from gossiphs_spark.operators.ranking import filter_related
 
-    rel = _related(spark, sf_dir)
+    rel = _related(spark, sf_dir).filter(_doc_num(F.col("page")) < 50)
     out = filter_related(rel, ["page"], "score", "other",
                          file_min_links=2, file_max_links=4)
     return out.select("page", "other", F.col("score").cast("long").alias("score"))

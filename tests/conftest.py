@@ -22,3 +22,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_cache_after_module(spark):
+    """Every pipeline build caches intermediates (mentions/fm/kept/…); a
+    full-suite session accumulates them across ~10 modules until the
+    shared driver heap chokes (observed as a late py4j failure ~2500
+    stages in). Module-scoped fixtures stay cached while their module
+    runs; everything unpersists at module end."""
+    yield
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
