@@ -15,6 +15,9 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
+    # one heap serves driver+executors in local mode and the full suite
+    # runs ~2500 stages through it — give it headroom beyond the 8g default
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     s = get_spark(app_name="gossiphs_spark_tests", cores=8, shuffle_partitions=8)
     yield s
 

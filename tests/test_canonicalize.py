@@ -87,3 +87,20 @@ def test_canonicalize_triples_postprocess(spark):
     # Magnetars normalizes to the Magnetar cluster's canonical form
     objs = {k[2] for k in rows}
     assert "Magnetars" not in objs and "Magnetar" in objs
+
+
+def test_nonconvergence_is_visible(spark, caplog):
+    """'No silent caps': truncated label propagation must log a warning
+    (ADVICE r1 — a component with diameter > max_iter would silently keep
+    two canonical names)."""
+    import logging
+
+    from gossiphs_spark.operators.canonicalize import canonical_entities
+
+    # chain of near-dup names: propagation needs several rounds
+    names = spark.createDataFrame(
+        [(f"Magnetar{'x' * i}",) for i in range(6)], "name string"
+    )
+    with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.canonicalize"):
+        canonical_entities(names, jaccard_min=0.3, max_iter=1).collect()
+    assert any("did not converge" in r.message for r in caplog.records)

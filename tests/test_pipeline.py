@@ -13,6 +13,16 @@ from gossiphs_spark.datagen import pages_df
 from gossiphs_spark.plans.pipeline import build_graph
 
 
+@pytest.fixture(autouse=True)
+def _unpersist_between_tests(spark):
+    """Every build_graph call caches ~6 intermediates; 8 graphs in this
+    module once exhausted the shared local-mode heap (OOM on the last
+    test after a full-suite run). Uncached frames recompute lazily — at
+    60 pages that costs seconds, not correctness."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="module")
 def graph(spark):
     pages, evidence, expected = pages_df(spark, n_pages=60, seed=7)
