@@ -70,6 +70,7 @@ _QUERY_NAMES = [
     "tq_token_stats",
     "tq_quality",
     "tq_langid",
+    "tq_langid_profiles",
     "tq_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_buckets",

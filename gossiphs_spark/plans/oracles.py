@@ -667,6 +667,48 @@ SELECT q.doc_id,
 FROM q JOIN documents d ON q.doc_id = d.doc_id
 """
 
+from gossiphs_spark.operators.textquality import PROFILES as _LANG_PROFILES
+
+_PROFILE_VALUES = ", ".join(
+    f"('{p}', '{w}')" for p, ws in sorted(_LANG_PROFILES.items()) for w in ws
+)
+
+ORACLES["tq_langid_profiles"] = f"""
+WITH profiles(profile, w) AS (VALUES {_PROFILE_VALUES}),
+docs2 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 2 = 1
+      THEN array_to_string(list_transform(string_split(text, ' '), t -> reverse(t)), ' ')
+      ELSE text END AS text
+  FROM documents
+),
+lp_toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs2
+),
+lp_toks2 AS (SELECT * FROM lp_toks WHERE w <> ''),
+lp_tot AS (SELECT doc_id, COUNT(*) AS n_tok FROM lp_toks2 GROUP BY doc_id),
+lp_hits AS (
+  SELECT t.doc_id, p.profile, COUNT(*) AS n_hit
+  FROM lp_toks2 t JOIN profiles p ON t.w = p.w
+  GROUP BY t.doc_id, p.profile
+),
+lp_best AS (
+  SELECT doc_id, profile AS guess, ratio FROM (
+    SELECT h.doc_id, h.profile,
+           ROUND(h.n_hit / CAST(tt.n_tok AS DOUBLE), 6) AS ratio,
+           ROW_NUMBER() OVER (
+             PARTITION BY h.doc_id
+             ORDER BY ROUND(h.n_hit / CAST(tt.n_tok AS DOUBLE), 6) DESC, h.profile ASC
+           ) AS rn
+    FROM lp_hits h JOIN lp_tot tt ON h.doc_id = tt.doc_id
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.guess, 'unk') AS guess,
+       COALESCE(b.ratio, 0.0) AS ratio
+FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN lp_best b ON d.doc_id = b.doc_id
+"""
+
 ORACLES["tq_fingerprint"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(('0x' || substring(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint

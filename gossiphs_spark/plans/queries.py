@@ -613,6 +613,24 @@ def tq_langid(spark, sf_dir):
     return q.join(d, "doc_id").select("doc_id", guess.alias("guess"), "lang")
 
 
+def tq_langid_profiles(spark, sf_dir):
+    """Multi-profile language-ID (operators/textquality.langid_argmax):
+    odd doc_ids are deterministically 'translated' (every token reversed)
+    so the en-vs-rev argmax is non-vacuous on the single-language corpus —
+    even docs must guess 'en', odd docs 'rev'."""
+    from gossiphs_spark.operators.textquality import langid_argmax
+
+    d = load_table(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.array_join(
+            F.transform(F.split("text", " "), lambda t: F.reverse(t)), " "
+        ),
+    ).otherwise(F.col("text"))
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"), text2.alias("text"))
+    return langid_argmax(docs)
+
+
 def tq_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")

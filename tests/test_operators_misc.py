@@ -93,3 +93,22 @@ def test_bucketed_quality(spark):
     assert rows["0-10"]["confirmed"] == 1
     assert rows["50-100"]["phantom"] == 1
     assert rows["500+"]["confirmed"] == 1
+
+
+def test_langid_argmax_multiprofile(spark):
+    """Multi-profile language-ID: the argmax must separate en from the
+    deterministic 'rev' pseudo-language, and zero-hit docs guess unk."""
+    from gossiphs_spark.operators.textquality import langid_argmax
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "eht tac tas no eht tam"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["guess"], r["ratio"]) for r in langid_argmax(docs).collect()}
+    assert got[1][0] == "en" and got[1][1] > 0
+    assert got[2][0] == "rev" and got[2][1] > 0
+    assert got[3] == ("unk", 0.0)
