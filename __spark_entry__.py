@@ -64,6 +64,7 @@ _QUERY_NAMES = [
     "x_scalar_suite",
     # training-data pipeline ops
     "dd_exact_dups",
+    "dd_embedding_neardup",
     "dd_ngram_jaccard",
     "dd_minhash_lsh",
     "dd_simhash",

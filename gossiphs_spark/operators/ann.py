@@ -75,6 +75,42 @@ def ivf_assign(cands: DataFrame, centroids: DataFrame) -> DataFrame:
     return cands.join(best, "vec_id")
 
 
+def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
+                  threshold: float = 0.6, nassign: int = 2) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF blocking: every
+    vector is assigned to its ``nassign`` nearest centroids (multiple
+    assignment — the standard cure for clusters straddling a centroid
+    boundary: single assignment measured recall 0.68, double 1.0 on the
+    fixture), pairwise cosine runs ONLY within a shared bucket
+    (equi-self-join on cid — never all-pairs), pairs at cos ≥ threshold
+    survive. → (vec_a, vec_b, cos), vec_a < vec_b, deduped across buckets.
+
+    The recall gate vs the unblocked brute-force pair set lives in
+    tests/test_ann.py."""
+    cents = sample_centroids(emb, n_centroids)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", F.round(cosine("v", "cv"), 6).alias("cosc"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nassign)
+        .select("cid", "vec_id", "v")
+    )
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine("va", "vb"), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_search(cands: DataFrame, queries: DataFrame, n_centroids: int = 16,
                nprobe: int = 3, k: int = 10) -> DataFrame:
     """cands(vec_id, v) × queries(query_id, q) → (query_id, vec_id, cos, rnk).

@@ -786,6 +786,42 @@ SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
 ) WHERE rnk <= 10
 """
 
+ORACLES["dd_embedding_neardup"] = """
+WITH emb0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS di, unnest(v) AS x FROM emb0
+),
+vpd AS (
+  SELECT vec_id, di,
+    (CASE WHEN CAST(('0x' || substring(md5(CAST(label AS VARCHAR) || '#' || CAST(di - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+          THEN 1.0 ELSE -1.0 END) + 0.5 * x AS x
+  FROM dims
+),
+emb AS (SELECT vec_id, list(x ORDER BY di) AS v FROM vpd GROUP BY vec_id),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+ac AS (
+  SELECT e.vec_id, e.v, ct.cid,
+    ROUND(list_dot_product(e.v, ct.cv)
+          / (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(ct.cv, ct.cv))), 6) AS cosc
+  FROM emb e, cents ct
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ac
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ROUND(list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cos
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.6
+"""
+
 ORACLES["ann_lsh_buckets"] = """
 WITH emb AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label

@@ -568,6 +568,21 @@ def dd_simhash(spark, sf_dir):
     )
 
 
+def dd_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via IVF blocking (operators/ann.
+    neardup_pairs) on the clustered fixture — within-bucket pairwise only,
+    never all-pairs. The oracle mirrors the identical blocking; recall vs
+    the unblocked brute-force pair set is gated in tests/test_ann.py."""
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    emb = _emb_clustered(spark, sf_dir)
+    return neardup_pairs(emb, n_centroids=16, threshold=0.6).select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        "cos",
+    )
+
+
 def tq_token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(

@@ -79,3 +79,29 @@ def test_ivf_plan_has_no_crossjoin_on_candidates(spark, split):
     queries, cands = split
     plan = ivf_search(cands, queries)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_pairs_recall_vs_brute_force(spark):
+    """dd family, 5th member: IVF-blocked near-dup pairs must find >= 0.9
+    of the brute-force cos >= 0.6 pairs on the clustered fixture, and
+    never emit a pair below threshold."""
+    from gossiphs_spark.operators.ann import cosine, neardup_pairs
+
+    emb = _emb_clustered(spark, SF_DIR)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in (
+            a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", F.round(cosine("va", "vb"), 4).alias("cos"))
+            .filter(F.col("cos") >= 0.6).collect()
+        )
+    }
+    got_rows = neardup_pairs(emb, n_centroids=16, threshold=0.6).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in got_rows}
+    assert brute, "fixture produced no near-dup pairs — vacuous"
+    assert all(r["cos"] >= 0.6 for r in got_rows)
+    assert got <= brute
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9, f"near-dup recall {recall}"
