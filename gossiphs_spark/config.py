@@ -19,7 +19,11 @@ class PipelineConfig:
     file_min_links: int = 0        # related-files floor            (graph.rs:950)
     file_max_links: int = 0        # related-files cap              (graph.rs:951)
     min_score: float = 0.01        # drop non-physical candidates below (graph.rs:957)
-    max_def_ratio: float = 0.1     # hub-entity damping ratio       (graph.rs:916-918)
+    # hub-entity damping ratio (graph.rs:916-918). The reference DECLARES
+    # this knob but never applies it; we wire it (SURVEY §4 O8 — at 10^12
+    # docs an undamped hot name explodes the candidate join). Set 1.0 for
+    # strict output parity with the reference on hub-heavy corpora.
+    max_def_ratio: float = 0.1
 
     # --- extraction hygiene (ref graph.rs:954-959) ---
     symbol_limit: int = 4096       # drop whole page if more mentions (graph.rs:958)
