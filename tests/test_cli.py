@@ -55,3 +55,17 @@ def test_export_and_diff(corpus_dirs, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     states = {json.loads(l)["state"] for l in r2.stdout.splitlines() if l.startswith("{")}
     assert "ADDED" in states
+
+
+def test_relate_file_max_links_caps_output(corpus_dirs):
+    """--file-max-links must cap the related fan-out through the CLI (the
+    W4 knob was silently dead in r1 — this pins the wiring end to end)."""
+    pages_dir, ev_dir, _ = corpus_dirs
+    r = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                "--file-max-links", "1", "relate")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert lines
+    from collections import Counter
+    per_page = Counter(l["page"] for l in lines)
+    assert max(per_page.values()) == 1
