@@ -43,6 +43,7 @@ _QUERY_NAMES = [
     "a8_edges",
     "a9_related_pages",
     "a9_related_with_symbols",
+    "a9_symbol_neighbors",
     "w8_topk_neighbors",
     "j7_trigram_fallback",
     "triples_extract",
@@ -56,6 +57,7 @@ _QUERY_NAMES = [
     "w1_knee_cutoffs",
     "w6_entropy_zscore",
     "a13_score_buckets",
+    "eval_cutoff_search",
     "a10_file_metadata",
     "a10_metadata_arrays",
     "o8_hub_damped_counts",

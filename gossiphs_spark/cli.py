@@ -51,7 +51,16 @@ def _build(spark, args):
     from gossiphs_spark.plans.pipeline import build_graph
 
     pages, evidence = _load(spark, args)
-    return build_graph(spark, pages, evidence, _cfg_of(args))
+    g = build_graph(spark, pages, evidence, _cfg_of(args))
+    if args.max_def_ratio < 1.0:
+        # hub damping diverges from reference defaults (it declares the
+        # knob, never applies it) — surface the divergence per run
+        print(
+            f"hub damping active (max_def_ratio={args.max_def_ratio}): "
+            f"{g.damped.count()} name(s) damped",
+            file=sys.stderr,
+        )
+    return g
 
 
 def cmd_relate(spark, args):

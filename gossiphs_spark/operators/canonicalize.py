@@ -44,10 +44,11 @@ def _shingle_names(names: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(names: DataFrame, n_perms: int = 16) -> DataFrame:
+def minhash_signatures(names: DataFrame, n_perms: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
     """(name, p, sig): md5-based min-hash per permutation."""
     spark = names.sparkSession
-    sh = _shingle_names(names)
+    sh = _shingle_names(names, shingle_k)
     perms = spark.range(n_perms).select(F.col("id").cast("int").alias("p"))
     return (
         sh.crossJoin(F.broadcast(perms))
@@ -61,9 +62,9 @@ def minhash_signatures(names: DataFrame, n_perms: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4, shingle_k: int = 3) -> DataFrame:
     """Blocked + banded candidate pairs (name_a < name_b)."""
-    sig = minhash_signatures(names, n_perms)
+    sig = minhash_signatures(names, n_perms, shingle_k)
     bands = (
         sig.withColumn("band", F.floor(F.col("p") / rows_per_band).cast("int"))
         .groupBy("name", "band")
@@ -99,10 +100,11 @@ def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
 
 
 def verified_pairs(names: DataFrame, n_perms: int = 16,
-                   rows_per_band: int = 4, jaccard_min: float = 0.6) -> DataFrame:
+                   rows_per_band: int = 4, jaccard_min: float = 0.6,
+                   shingle_k: int = 3) -> DataFrame:
     """LSH candidates filtered by exact shingle Jaccard ≥ jaccard_min."""
-    cands = lsh_candidate_pairs(names, n_perms, rows_per_band)
-    sh = _shingle_names(names)
+    cands = lsh_candidate_pairs(names, n_perms, rows_per_band, shingle_k)
+    sh = _shingle_names(names, shingle_k)
     sizes = sh.groupBy("name").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.select(F.col("name").alias("name_a"), "shingle"), "name_a")
@@ -122,11 +124,11 @@ def verified_pairs(names: DataFrame, n_perms: int = 16,
 
 def canonical_entities(names: DataFrame, n_perms: int = 16,
                        rows_per_band: int = 4, jaccard_min: float = 0.6,
-                       max_iter: int = 10) -> DataFrame:
+                       max_iter: int = 10, shingle_k: int = 3) -> DataFrame:
     """→ (name, entity_id, canonical_name): connected components of the
     verified similarity graph; entity_id = min member hash, canonical_name
     = lexicographically smallest member (deterministic)."""
-    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min)
+    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min, shingle_k)
     labels = names.select("name").distinct().withColumn("label", F.col("name"))
 
     edges = pairs.select("name_a", "name_b").unionByName(

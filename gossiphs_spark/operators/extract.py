@@ -210,8 +210,11 @@ _PROFILES = {"md": extract_page_md, "markdown": extract_page_md}
 
 def profile_of(url: str):
     """F1 extension dispatch (ref rule.rs:42-252 / graph.rs:117-146): pick
-    the grammar by the url's extension; html is the default profile."""
-    ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else ""
+    the grammar by the url's *path* extension; html is the default profile.
+    Query strings and fragments are stripped first ('page.md?v=2',
+    'page.md#top' → md), mirroring the reference's path-based dispatch."""
+    tail = url.split("?", 1)[0].split("#", 1)[0].rsplit("/", 1)[-1]
+    ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
     return _PROFILES.get(ext, extract_page)
 
 

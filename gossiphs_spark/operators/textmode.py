@@ -120,6 +120,10 @@ def hub_stoplist(defs: DataFrame, total_pages: int, max_def_ratio: float = 0.1) 
 
 
 def damp_hubs(m: DataFrame, stoplist: DataFrame) -> DataFrame:
+    # the stoplist broadcast is corpus-size-safe, unlike the name
+    # dictionaries: a hot name needs df > ratio·n_pages defining pages, and
+    # Σ df ≤ n_pages · defs_per_page, so |stoplist| ≤ defs_per_page / ratio
+    # — bounded by per-page fan-out, independent of corpus size.
     return m.join(F.broadcast(stoplist), "name", "left_anti")
 
 
@@ -265,6 +269,24 @@ def symbol_neighbors(edges_df: DataFrame, name: str,
         F.col("src_url").alias("ref_url"),
         F.col("dst_url").alias("neighbor_url"), "name", "weight",
     )
+
+
+def symbol_neighbors_many(edges_df: DataFrame, names_df: DataFrame) -> DataFrame:
+    """Vectorized :func:`symbol_neighbors` over a probe-name table (ref
+    api.rs:301-315, bulk form): per probed name, the DEF-direction rows
+    (defining page ← its referencing pages) and REF-direction rows
+    (referencing page → its defining pages). The probe table is a user
+    query set (small) → broadcast semi-join, map-side."""
+    e = edges_df.join(F.broadcast(names_df.select("name")), "name", "left_semi")
+    as_def = e.select(
+        F.lit("DEF").alias("kind"), F.col("dst_url").alias("anchor_url"),
+        F.col("src_url").alias("neighbor_url"), "name", "weight",
+    )
+    as_ref = e.select(
+        F.lit("REF").alias("kind"), F.col("src_url").alias("anchor_url"),
+        F.col("dst_url").alias("neighbor_url"), "name", "weight",
+    )
+    return as_def.unionByName(as_ref)
 
 
 # ---------------------------------------------------------------------------

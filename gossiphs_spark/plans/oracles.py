@@ -233,6 +233,83 @@ SELECT page, other, score, CAST(rnk AS BIGINT) AS rnk FROM (
 ) WHERE rnk <= 5
 """
 
+ORACLES["a9_symbol_neighbors"] = KG + """,
+probe AS (SELECT DISTINCT name FROM edges ORDER BY name LIMIT 3),
+pe AS (SELECT e.* FROM edges e WHERE EXISTS (SELECT 1 FROM probe p WHERE p.name = e.name)),
+sn AS (
+  SELECT 'DEF' AS kind, dst_url AS anchor_url, src_url AS neighbor_url, name, weight FROM pe
+  UNION ALL
+  SELECT 'REF' AS kind, src_url AS anchor_url, dst_url AS neighbor_url, name, weight FROM pe
+)
+SELECT * FROM sn WHERE {anchor} < 5
+""".format(anchor=DOCN.format(col="anchor_url"))
+
+ORACLES["eval_cutoff_search"] = KG + """,
+links AS (
+  SELECT page AS src, other AS dst, score,
+         CASE WHEN ({pn} * 7 + {on} * 13) % 10 < 5 THEN 'confirmed'
+              WHEN ({pn} * 7 + {on} * 13) % 10 < 7 THEN 'true_bonus'
+              ELSE 'phantom' END AS label
+  FROM related
+),
+fullstats AS (
+  SELECT COUNT(*) AS total_links, COUNT(DISTINCT src) AS n_src_total,
+         GREATEST(50, CAST(COUNT(*) * 0.01 AS BIGINT)) AS min_kept
+  FROM links
+),
+items AS (SELECT * FROM links ORDER BY score DESC, src ASC, dst ASC LIMIT 2000),
+dscores AS (SELECT DISTINCT score AS s FROM items),
+iscores AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) - 1 AS i, COUNT(*) OVER () AS n
+  FROM dscores
+),
+cutoffs AS (
+  SELECT DISTINCT cutoff FROM (
+    SELECT s AS cutoff
+    FROM iscores, (VALUES (0.0), (0.5), (0.7), (0.8), (0.9), (0.95)) q(q)
+    WHERE i = CAST(FLOOR((n - 1) * q.q) AS INT)
+    UNION ALL SELECT 0
+  )
+),
+stats AS (
+  SELECT c.cutoff,
+         COUNT(*) AS total,
+         SUM(CASE WHEN label = 'confirmed' THEN 1 ELSE 0 END) AS confirmed,
+         SUM(CASE WHEN label = 'true_bonus' THEN 1 ELSE 0 END) AS true_bonus,
+         SUM(CASE WHEN label = 'phantom' THEN 1 ELSE 0 END) AS phantom,
+         COUNT(DISTINCT src) AS n_src
+  FROM items, cutoffs c WHERE items.score >= c.cutoff GROUP BY c.cutoff
+),
+pt AS (
+  SELECT t.target, s.*,
+         s.phantom * 1.0 / s.total AS hr,
+         (s.confirmed + s.true_bonus) * 1.0 / s.total AS precision,
+         s.n_src * 1.0 / f.n_src_total AS src_coverage,
+         (s.phantom * 1.0 / s.total <= t.target
+          AND s.total >= f.min_kept
+          AND s.n_src * 1.0 / f.n_src_total >= 0.10) AS meets,
+         (s.confirmed + s.true_bonus) * 1.0 / s.total
+           - s.phantom * 1.0 / s.total
+           + 0.15 * (s.n_src * 1.0 / f.n_src_total) AS utility
+  FROM stats s, (VALUES (0.30), (0.20), (0.10)) t(target), fullstats f
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY target
+    ORDER BY meets DESC,
+             CASE WHEN meets THEN 0.0 ELSE -utility END ASC,
+             cutoff ASC
+  ) AS rn
+  FROM pt
+)
+SELECT CAST(target AS DOUBLE) AS target, CAST(cutoff AS BIGINT) AS cutoff,
+       CAST(total AS BIGINT) AS total, CAST(confirmed AS BIGINT) AS confirmed,
+       CAST(true_bonus AS BIGINT) AS true_bonus, CAST(phantom AS BIGINT) AS phantom,
+       ROUND(hr, 6) AS hr, ROUND(precision, 6) AS precision,
+       ROUND(src_coverage, 6) AS src_coverage
+FROM ranked WHERE rn = 1
+""".format(pn=DOCN.format(col="page"), on=DOCN.format(col="other"))
+
 ORACLES["o8_hub_damped_counts"] = KG + """,
 dftbl AS (
   SELECT name, CAST(COUNT(DISTINCT url) AS BIGINT) AS df
@@ -612,14 +689,15 @@ sim_tok2 AS (
   SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
   FROM sim_tok WHERE w <> ''
 ),
-bits AS (SELECT CAST(unnest(range(32)) AS INT) AS b),
+bits AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
 votes AS (
   SELECT doc_id, b,
          SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
   FROM sim_tok2, bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       CAST(SUM(CASE WHEN v >= 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b % 32)) ELSE 0 END) AS BIGINT) AS simhash_hi,
+       CAST(SUM(CASE WHEN v >= 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash_lo
 FROM votes GROUP BY doc_id
 """
 

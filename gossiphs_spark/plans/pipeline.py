@@ -46,9 +46,23 @@ class GraphTables:
     edges: DataFrame        # page-level (src_url, dst_url, weight)
     related: DataFrame      # related-pages rollup (page, other, score)
     triples: DataFrame      # (subj, pred, obj, url, start_byte)
+    damped: DataFrame       # hub stoplist actually applied (name) — damping
+    #                         diverges from reference defaults (the reference
+    #                         declares max_def_ratio but never applies it);
+    #                         exposing the stoplist makes the divergence
+    #                         inspectable per run without forcing a job.
 
 
-def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
+def _maybe_broadcast(df: DataFrame, ok: bool) -> DataFrame:
+    """Broadcast hint gated on corpus statistics: the distinct-name
+    dictionaries grow ~linearly with a web corpus (every page title is a
+    DEF), so above cfg.broadcast_threshold_rows the hint would OOM the
+    driver — drop it and let the shuffle join (or AQE promotion) run."""
+    return F.broadcast(df) if ok else df
+
+
+def filter_pointless_full(m: DataFrame, symbol_len_limit: int,
+                          broadcast_ok: bool = True) -> DataFrame:
     """F7 with the dotted-name paths (ref graph.rs:370-403):
       DEF kept iff ∃REF: ref.name == def.name  ∨  ref.name ends with '.'+def.name
       REF kept iff ∃DEF: def.name == ref.name  ∨  base(ref.name) ∈ base(def.names)
@@ -74,15 +88,20 @@ def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
         .where(F.col("name") != "")
         .distinct()
     )
-    # name dictionaries are vocabulary-bounded (same assumption as the
-    # broadcast IDF map) — broadcasting the semi-join right sides keeps the
-    # corpus-sized mention table un-shuffled through this whole block
-    def_keep_names = F.broadcast(ref_names.union(ref_suffixes).distinct())
+    # broadcasting the semi-join right sides keeps the corpus-sized mention
+    # table un-shuffled through this block — but ONLY while the distinct-name
+    # dictionary is small: callers gate ``broadcast_ok`` on the measured
+    # distinct-name count vs cfg.broadcast_threshold_rows (at 10^12 docs the
+    # dictionaries grow with the corpus and must stay shuffle joins)
+    def_keep_names = _maybe_broadcast(
+        ref_names.union(ref_suffixes).distinct(), broadcast_ok
+    )
     kept_defs = defs.join(def_keep_names, "name", "left_semi")
 
-    def_names = F.broadcast(defs.select("name").distinct())
-    def_base_names = F.broadcast(
-        defs.select(base_name(F.col("name")).alias("base")).distinct()
+    def_names = _maybe_broadcast(defs.select("name").distinct(), broadcast_ok)
+    def_base_names = _maybe_broadcast(
+        defs.select(base_name(F.col("name")).alias("base")).distinct(),
+        broadcast_ok,
     )
     refs_b = refs.withColumn("base", base_name(F.col("name")))
     kept_refs = (
@@ -99,7 +118,8 @@ def filter_pointless_full(m: DataFrame, symbol_len_limit: int) -> DataFrame:
 
 
 def _candidates(defs: DataFrame, refs: DataFrame,
-                signal_pages: DataFrame | None = None) -> DataFrame:
+                signal_pages: DataFrame | None = None,
+                broadcast_ok: bool = True) -> DataFrame:
     """J1 exact + J2 base-name fallback at the (ref_url, ref_name) grain
     (ref graph.rs:620-645). ``occ`` carries occurrence multiplicity.
 
@@ -125,7 +145,9 @@ def _candidates(defs: DataFrame, refs: DataFrame,
         d, F.col("ref_name") == F.col("def_name")
     ).withColumn("is_exact", F.lit(True))
 
-    exact_names = F.broadcast(d.select(F.col("def_name").alias("ref_name")).distinct())
+    exact_names = _maybe_broadcast(
+        d.select(F.col("def_name").alias("ref_name")).distinct(), broadcast_ok
+    )
     base_candidates = (
         ref_groups.join(exact_names, "ref_name", "left_anti")
         .unionByName(
@@ -191,6 +213,17 @@ def build_graph(
     # idf/triples) — cache it or Arrow extraction re-executes per branch.
     # The reference extracts exactly once (graph.rs:504-508); so do we.
     mentions = mentions.cache()
+    # ONE stats pass over the cached mentions feeds every scalar the plan
+    # needs: n_pages (was a second full scan of `pages` — at 100 TB that is
+    # a second corpus read for one number; pages without mentions are
+    # vanishingly rare on the web and the ratio/IDF uses tolerate the
+    # substitution) and n_names, which gates the dictionary broadcasts.
+    stats = mentions.agg(
+        F.countDistinct("url").alias("n_pages"),
+        F.countDistinct("name").alias("n_names"),
+    ).collect()[0]
+    n_pages = stats["n_pages"]
+    bcast_ok = stats["n_names"] <= cfg.broadcast_threshold_rows
     # fm is referenced by ~25 downstream joins/unions — prune to the 4
     # columns the scoring tail needs before caching. (Plan-depth note: a
     # localCheckpoint here would also truncate the analyzed tree and cut
@@ -198,7 +231,7 @@ def build_graph(
     # downstream — measured 38.8 s → 70-110 s at sf0.1 as ~10 small-side
     # joins degraded from broadcast to sort-merge. cache keeps the stats.)
     fm = (
-        filter_pointless_full(mentions, cfg.symbol_len_limit)  # F6+F7
+        filter_pointless_full(mentions, cfg.symbol_len_limit, bcast_ok)  # F6+F7
         .select("url", "name", "kind", "start_byte")
         .cache()
     )
@@ -206,14 +239,18 @@ def build_graph(
     refs = fm.filter(F.col("kind") == "REF")
     imports = fm.filter(F.col("kind") == "IMPORT")
 
-    n_pages = pages.select("url").distinct().count()
-
     # ---- evidence prep (F8, A4, A12) — all small aggregates, broadcastable
     ev = evidence.select("url", "evidence_id", "ts").distinct()
     sizes = ev.groupBy("evidence_id").agg(F.countDistinct("url").alias("n_urls"))
     limit = int(n_pages * cfg.commit_size_limit_ratio)
+    # the evidence-id dictionary grows with the corpus (snapshots ∝ crawl
+    # volume) just like the name dictionaries — same gate (bcast_ok is the
+    # one corpus-scale switch: past the threshold, every corpus-growing
+    # dictionary stays a shuffle join)
     ev = ev.join(
-        F.broadcast(sizes.filter(F.col("n_urls") < limit).select("evidence_id")),
+        _maybe_broadcast(
+            sizes.filter(F.col("n_urls") < limit).select("evidence_id"), bcast_ok
+        ),
         "evidence_id", "left_semi",
     ).cache()  # consumed by anchor, cardinality, pair-intersection, gate
     anchor_row = ev.agg(F.max("ts").alias("mx")).collect()[0]
@@ -245,7 +282,7 @@ def build_graph(
     cand_refs = damp_hubs(refs, stoplist)
 
     # ---- candidates (J1/J2) ----------------------------------------------
-    cands = _candidates(cand_defs, cand_refs, signal_pages)
+    cands = _candidates(cand_defs, cand_refs, signal_pages, bcast_ok)
     cands = _physical_evidence(cands, imports)
 
     # ---- co-occurrence restricted to candidate pairs (J5/A5) -------------
@@ -270,12 +307,13 @@ def build_graph(
     card_b = card.select(F.col("url").alias("def_url"), F.col("card").alias("card_b"))
 
     # idf is the broadcast document-frequency map (north_star: "broadcast-
-    # joined document-frequency maps"); card/ref_count are URL-keyed, i.e.
-    # corpus-sized — forcing those to broadcast would serialize the driver
-    # and cannot work at 10^12 docs, so they stay shuffle joins (AQE still
-    # broadcasts them when they happen to be small)
+    # joined document-frequency maps") — hint gated on the measured distinct-
+    # name count like every other dictionary; card/ref_count are URL-keyed,
+    # i.e. corpus-sized — forcing those to broadcast would serialize the
+    # driver and cannot work at 10^12 docs, so they stay shuffle joins (AQE
+    # still broadcasts them when they happen to be small)
     scored = (
-        cands.join(F.broadcast(idf), "def_name", "left")
+        cands.join(_maybe_broadcast(idf, bcast_ok), "def_name", "left")
         .join(inter, ["ref_url", "def_url"], "left")
         .join(card_a, "ref_url", "left")
         .join(card_b, "def_url", "left")
@@ -425,6 +463,7 @@ def build_graph(
         edges=page_edges,
         related=related,
         triples=triples,
+        damped=stoplist,
     )
 
 
@@ -450,6 +489,7 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
         n_perms=cfg.minhash_perms,
         rows_per_band=max(cfg.minhash_perms // cfg.minhash_bands, 1),
         jaccard_min=jaccard_min,
+        shingle_k=cfg.shingle_size,
     ).cache()
     hint = (
         F.broadcast if ents.count() <= cfg.broadcast_threshold_rows else (lambda d: d)

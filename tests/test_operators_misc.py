@@ -95,6 +95,80 @@ def test_bucketed_quality(spark):
     assert rows["500+"]["confirmed"] == 1
 
 
+def _cutoff_search_expected(links, targets, max_candidates=2000,
+                            min_kept=None, min_cov=0.10):
+    """Reference-formula mirror of eval/evaluate.py:45-143 (re-derived):
+    deterministic sample → quantile cutoffs → per-cutoff noise/precision/
+    coverage → lowest qualifying cutoff, else max-utility fallback."""
+    if min_kept is None:
+        min_kept = max(50, int(len(links) * 0.01))
+    all_src = {s for (s, _d, _sc, _l) in links}
+    items = sorted(links, key=lambda x: (-x[2], x[0], x[1]))[:max_candidates]
+    scores = sorted({sc for (_s, _d, sc, _l) in items})
+    cuts = {0}
+    for q in [0.0, 0.5, 0.7, 0.8, 0.9, 0.95]:
+        cuts.add(scores[int((len(scores) - 1) * q)])
+    out = {}
+    for target in targets:
+        best = None
+        for c in sorted(cuts):
+            kept = [x for x in items if x[2] >= c]
+            if not kept:
+                continue
+            total = len(kept)
+            ph = sum(1 for x in kept if x[3] == "phantom")
+            cf = sum(1 for x in kept if x[3] == "confirmed")
+            bn = sum(1 for x in kept if x[3] == "true_bonus")
+            hr, prec = ph / total, (cf + bn) / total
+            cov = len({x[0] for x in kept}) / len(all_src)
+            if hr <= target and total >= min_kept and cov >= min_cov:
+                best = (c, total, hr)
+                break
+            util = prec - hr + 0.15 * cov
+            if best is None or util > best[3]:
+                best = (c, total, hr, util)
+        out[target] = best[:3]
+    return out
+
+
+def test_cutoff_search_reference_vectors(spark):
+    """Both selection paths against the reference-formula mirror: a lenient
+    target picks the lowest qualifying cutoff; an unattainable target falls
+    back to the max-utility cutoff."""
+    from gossiphs_spark.evalx import cutoff_search
+
+    # 100 links: scores 1..100; high scores are mostly confirmed, low mostly
+    # phantom — so stricter targets need higher cutoffs.
+    links = []
+    for i in range(100):
+        score = i + 1
+        label = "confirmed" if (score > 40 and i % 10 != 0) else (
+            "true_bonus" if i % 10 == 5 else "phantom")
+        links.append((f"s{i % 7}", f"d{i}", score, label))
+    df = spark.createDataFrame(
+        links, "src string, dst string, score long, label string"
+    )
+    got = {
+        r["target"]: r
+        for r in cutoff_search(
+            df, targets=(0.50, 0.001), min_kept_links=10, min_src_coverage=0.10
+        ).collect()
+    }
+    exp = _cutoff_search_expected(
+        links, [0.50, 0.001], min_kept=10, min_cov=0.10
+    )
+    for t in (0.50, 0.001):
+        assert got[t]["cutoff"] == exp[t][0], (t, dict(got[t].asDict()), exp[t])
+        assert got[t]["total"] == exp[t][1]
+        assert abs(got[t]["hr"] - exp[t][2]) < 1e-6
+    # the lenient target qualifies at cutoff 0 (hr ≤ 0.5 overall)
+    assert got[0.50]["cutoff"] == 0
+    # the unattainable 0.1% target must have taken the utility fallback —
+    # the picked cutoff violates at least one qualifying constraint
+    r = got[0.001]
+    assert (r["hr"] > 0.001) or (r["total"] < 10) or (r["src_coverage"] < 0.10)
+
+
 def test_langid_argmax_multiprofile(spark):
     """Multi-profile language-ID: the argmax must separate en from the
     deterministic 'rev' pseudo-language, and zero-hit docs guess unk."""

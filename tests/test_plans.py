@@ -49,8 +49,48 @@ def test_hot_paths_whole_stage_codegen(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     # '*(n)' operator prefixes mark whole-stage-codegen spans
-    assert "*(1)" in plan and "*(" + plan.split("*(")[1][:2]  # codegen present
+    import re
+
+    assert re.search(r"\*\(\d+\)", plan)  # codegen present
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dictionary_broadcasts_gated(spark):
+    """The flagship's name-dictionary broadcast hints (F7 keep-set, def/
+    base-name dicts, exact_names, IDF map) must be gated on the measured
+    distinct-name count vs cfg.broadcast_threshold_rows: with the threshold
+    at 0 the only forced broadcasts left are the two hub-stoplist anti-joins
+    (bounded by per-page fan-out, corpus-size independent)."""
+    from gossiphs_spark.config import PipelineConfig
+    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.plans.pipeline import build_graph
+
+    pages, evidence, _ = pages_df(spark, n_pages=40, seed=3)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import re
+
+    def n_exchanges(df) -> int:
+        # the plan STRING repeats shared subtrees — count unique exchange
+        # plan_ids, not textual occurrences
+        return len(set(re.findall(r"BroadcastExchange .*?plan_id=(\d+)", plan_of(df))))
+
+    try:
+        g_small = build_graph(spark, pages, evidence, PipelineConfig())
+        n_hinted = n_exchanges(g_small.candidates)
+        spark.catalog.clearCache()
+        g_gated = build_graph(
+            spark, pages, evidence, PipelineConfig(broadcast_threshold_rows=0)
+        )
+        n_gated = n_exchanges(g_gated.candidates)
+        assert n_gated < n_hinted  # dictionaries no longer forced
+        assert n_gated <= 2  # only the bounded stoplist anti-joins remain
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.catalog.clearCache()
 
 
 def test_idf_map_broadcasts(spark):
