@@ -35,6 +35,7 @@ _QUERY_NAMES = [
     # KG core (SURVEY.md §2.1-2.6)
     "u1_mentions",
     "u1_md_mentions",
+    "u1_mixed_profiles",
     "f7_pointless_counts",
     "a3_idf",
     "j1_link_exact",

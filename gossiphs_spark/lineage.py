@@ -64,6 +64,76 @@ def _append_lineage(out_dir: str, rec: dict) -> None:
     os.replace(tmp, path)
 
 
+class TripleSink:
+    """Writer seam (VERDICT r2 item 9): everything materialize_triples /
+    read_triples need from the storage layer, so the production backend —
+    an Iceberg table whose ``commit`` is a MERGE/snapshot commit and whose
+    ``committed`` reads the snapshot log — is a drop-in replacement for the
+    sandbox parquet+rename backend below. Resume semantics live in the
+    CALLER (skip committed buckets, recompute uncommitted), not in the
+    backend, so swapping backends cannot change them."""
+
+    def committed(self) -> set[int]:
+        raise NotImplementedError
+
+    def commit(self, spark: SparkSession, bucket: int, df: DataFrame,
+               meta: dict) -> int:
+        """Atomically publish one bucket's rows + its lineage record;
+        returns the committed row count. MUST be all-or-nothing: a killed
+        commit leaves nothing a reader could see."""
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read ONLY committed buckets (never a glob/full-table scan of
+        possibly-torn data)."""
+        raise NotImplementedError
+
+
+class ParquetRenameSink(TripleSink):
+    """Sandbox backend: parquet directory per bucket, atomic os.replace as
+    the commit, JSONL lineage as the commit log. Same observable contract
+    as an Iceberg MERGE (committed-only reads, idempotent re-commit)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def committed(self) -> set[int]:
+        return committed_buckets(self.out_dir)
+
+    def commit(self, spark, bucket, df, meta):
+        bucket_path = os.path.join(self.out_dir, f"triples_bucket={bucket:05d}")
+        # tmp dir deliberately does NOT match the committed-bucket naming —
+        # a run killed mid-write must never leave data a reader could glob
+        tmp_path = os.path.join(
+            self.out_dir, f".inprogress_triples_bucket={bucket:05d}"
+        )
+        df.write.mode("overwrite").parquet(tmp_path)
+        n = spark.read.parquet(tmp_path).count()
+        if os.path.exists(bucket_path):
+            import shutil
+
+            shutil.rmtree(bucket_path)
+        os.replace(tmp_path, bucket_path)  # atomic commit of the data
+        _append_lineage(
+            self.out_dir,
+            {**meta, "stage": "triples", "bucket": bucket, "triple_count": n,
+             "committed_at": time.time()},
+        )
+        return n
+
+    def read(self, spark):
+        done = sorted(self.committed())
+        if not done:
+            raise FileNotFoundError(
+                f"no committed triple buckets under {self.out_dir}"
+            )
+        paths = [
+            os.path.join(self.out_dir, f"triples_bucket={b:05d}") for b in done
+        ]
+        return spark.read.parquet(*paths)
+
+
 def materialize_triples(
     spark: SparkSession,
     pages: DataFrame,
@@ -72,13 +142,16 @@ def materialize_triples(
     n_buckets: int = 8,
     build_triples=None,
     fail_after: int | None = None,
+    sink: TripleSink | None = None,
 ) -> list[int]:
     """Extract + commit triples bucket-by-bucket with lineage; resume-safe.
 
     ``build_triples(pages_subset) -> DataFrame`` defaults to the extraction
     triples of plans/pipeline.py. ``fail_after`` kills the run after N
-    bucket commits (test hook for the kill/resume property).
-    Returns the list of buckets committed by THIS invocation.
+    bucket commits (test hook for the kill/resume property). ``sink``
+    defaults to the sandbox ParquetRenameSink; pass an Iceberg-backed
+    TripleSink in production. Returns the buckets committed by THIS
+    invocation.
     """
     if build_triples is None:
         from gossiphs_spark.operators.extract import extract_mentions
@@ -107,8 +180,9 @@ def materialize_triples(
                 .select("subj", "pred", "obj", "url", "start_byte")
             )
 
-    os.makedirs(out_dir, exist_ok=True)
-    done = committed_buckets(out_dir)
+    if sink is None:
+        sink = ParquetRenameSink(out_dir)
+    done = sink.committed()
     pages_b = pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
 
     committed_now: list[int] = []
@@ -123,28 +197,13 @@ def materialize_triples(
             F.max("warc_ts").alias("wm"),
         ).collect()[0]
 
-        bucket_path = os.path.join(out_dir, f"triples_bucket={b:05d}")
-        # tmp dir deliberately does NOT match the committed-bucket naming —
-        # a run killed mid-write must never leave data a reader could glob
-        tmp_path = os.path.join(out_dir, f".inprogress_triples_bucket={b:05d}")
-        tri.write.mode("overwrite").parquet(tmp_path)
-        n = spark.read.parquet(tmp_path).count()
-        if os.path.exists(bucket_path):
-            import shutil
-
-            shutil.rmtree(bucket_path)
-        os.replace(tmp_path, bucket_path)  # atomic commit of the data
-        _append_lineage(
-            out_dir,
+        sink.commit(
+            spark, b, tri,
             {
                 "run_id": run_id,
-                "stage": "triples",
-                "bucket": b,
                 "url_min": stats["url_min"],
                 "url_max": stats["url_max"],
                 "warc_ts_watermark": stats["wm"],
-                "triple_count": n,
-                "committed_at": time.time(),
             },
         )
         committed_now.append(b)
@@ -153,14 +212,13 @@ def materialize_triples(
     return committed_now
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_triples(spark: SparkSession, out_dir: str,
+                 sink: TripleSink | None = None) -> DataFrame:
     """Read ONLY buckets with a committed lineage row — never a glob.
 
     A glob would also match stray directories (partial data copied in by
-    hand, artifacts of older layouts); the lineage file is the commit log,
-    so it alone decides what is readable."""
-    done = sorted(committed_buckets(out_dir))
-    if not done:
-        raise FileNotFoundError(f"no committed triple buckets under {out_dir}")
-    paths = [os.path.join(out_dir, f"triples_bucket={b:05d}") for b in done]
-    return spark.read.parquet(*paths)
+    hand, artifacts of older layouts); the lineage/commit log alone decides
+    what is readable."""
+    if sink is None:
+        sink = ParquetRenameSink(out_dir)
+    return sink.read(spark)

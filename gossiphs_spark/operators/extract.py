@@ -205,17 +205,97 @@ def extract_page_md(url: str, blob: bytes) -> list[tuple]:
     return out
 
 
-_PROFILES = {"md": extract_page_md, "markdown": extract_page_md}
+# --------------------------------------------------------------------------
+# Plain-text profile — the third grammar, for the common-crawl reality of
+# extensionless urls serving non-markup text (the reference skips files
+# with no matching rule set, graph.rs:117-146; on the web "no extension"
+# is the NORM, so we dispatch by content instead of dropping the page):
+#   first non-empty line            → DEF  (the page's canonical entity)
+#   bare http(s):// urls            → IMPORT
+#   Capitalized tokens elsewhere    → REF
+# --------------------------------------------------------------------------
+_TXT_URL_RE = re.compile(r"\bhttps?://[^\s<>\"')\]]+")
 
 
-def profile_of(url: str):
+def extract_page_txt(url: str, blob: bytes) -> list[tuple]:
+    """One plain-text page → mention rows. Pure; same output contract as
+    extract_page (html) and extract_page_md."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+
+    title_span = None
+    pos = 0
+    for line in s.split("\n"):
+        stripped = line.strip()
+        if stripped:
+            a = pos + line.index(stripped[0])
+            b = a + len(stripped)
+            title_span = (a, b)
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, stripped, "DEF", a, b, r0, c0, r1, c1))
+            break
+        pos += len(line) + 1
+
+    link_spans: list[tuple[int, int]] = []
+    for lm in _TXT_URL_RE.finditer(s):
+        target = lm.group(0).rstrip(".,;:")  # trailing-punct trim (F12 analog)
+        a, b = lm.start(), lm.start() + len(target)
+        if title_span and a >= title_span[0] and b <= title_span[1]:
+            continue
+        link_spans.append((a, b))
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, target, "IMPORT", a, b, r0, c0, r1, c1))
+
+    def covered(a: int, b: int) -> bool:
+        if title_span and a >= title_span[0] and b <= title_span[1]:
+            return True
+        return any(a < y and b > x for (x, y) in link_spans)
+
+    for em in _ENTITY_RE.finditer(s):
+        a, b = em.span()
+        if covered(a, b):
+            continue
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, em.group(0), "REF", a, b, r0, c0, r1, c1))
+    return out
+
+
+_PROFILES = {
+    "md": extract_page_md,
+    "markdown": extract_page_md,
+    "txt": extract_page_txt,
+    "text": extract_page_txt,
+}
+
+
+def profile_of(url: str, blob: bytes | None = None):
     """F1 extension dispatch (ref rule.rs:42-252 / graph.rs:117-146): pick
-    the grammar by the url's *path* extension; html is the default profile.
-    Query strings and fragments are stripped first ('page.md?v=2',
-    'page.md#top' → md), mirroring the reference's path-based dispatch."""
+    the grammar by the url's *path* extension; html is the default profile
+    for extension-bearing urls. Query strings and fragments are stripped
+    first ('page.md?v=2', 'page.md#top' → md), mirroring the reference's
+    path-based dispatch.
+
+    Extensionless urls (the common-crawl norm) sniff the content when the
+    blob is available: a leading '<' means markup (html profile), anything
+    else gets the plain-text grammar. The sniff is a pure function of the
+    first 256 bytes — deterministic per (url, blob)."""
     tail = url.split("?", 1)[0].split("#", 1)[0].rsplit("/", 1)[-1]
     ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
-    return _PROFILES.get(ext, extract_page)
+    if ext:
+        return _PROFILES.get(ext, extract_page)
+    if blob is not None:
+        try:
+            head = blob[:256].decode("utf-8", "ignore").lstrip()
+        except AttributeError:
+            head = ""
+        return extract_page if head.startswith("<") else extract_page_txt
+    return extract_page
 
 
 ALL_MENTION_COLS = (
@@ -247,7 +327,7 @@ def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_CO
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(profile_of(url)(url, html))
+                rows.extend(profile_of(url, html)(url, html))
             if rows:
                 transposed = list(zip(*rows))  # C-level transpose
                 yield pd.DataFrame(

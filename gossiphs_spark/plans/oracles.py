@@ -151,6 +151,27 @@ SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) || '/index.md' AS url,
 FROM documents d LEFT JOIN mdrefs r ON d.doc_id = r.doc_id
 """
 
+ORACLES["u1_mixed_profiles"] = """
+WITH mixtoks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+mixrefs AS (
+  SELECT doc_id, COUNT(*) AS n_refs
+  FROM mixtoks WHERE length(w) >= 6 AND regexp_matches(w, '^[a-z][a-z0-9]*$')
+  GROUP BY doc_id
+)
+SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) ||
+         CASE WHEN d.doc_id % 3 = 0 THEN '/page.html'
+              WHEN d.doc_id % 3 = 1 THEN '/page.md'
+              ELSE '/page' END AS url,
+       CAST(1 AS BIGINT) AS n_defs,
+       CAST(COALESCE(r.n_refs, 0) AS BIGINT) AS n_refs,
+       CAST(1 AS BIGINT) AS n_imports,
+       'Doc' || CAST(d.doc_id AS VARCHAR) AS title
+FROM documents d LEFT JOIN mixrefs r ON d.doc_id = r.doc_id
+"""
+
 ORACLES["f7_pointless_counts"] = KG + """
 SELECT url, kind, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY url, kind
 """

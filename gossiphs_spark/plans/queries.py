@@ -108,6 +108,53 @@ def u1_md_mentions(spark, sf_dir):
     )
 
 
+def u1_mixed_profiles(spark, sf_dir):
+    """Three grammars through ONE extraction run (F1 dispatch): documents
+    render to html (doc_id%3==0), markdown (%3==1), or plain text with an
+    EXTENSIONLESS url (%3==2 — exercising the content sniff), all with the
+    same deterministic body; the per-page kind counts are profile-invariant
+    by construction, so the oracle recomputes them once."""
+    from gossiphs_spark.operators.extract import extract_mentions
+
+    d = load_table(spark, sf_dir, "documents")
+    n = _ndocs(spark, sf_dir)
+    toks = F.transform(
+        F.split("text", " "),
+        lambda t: F.when(F.length(t) >= 6, F.initcap(t)).otherwise(t),
+    )
+    body = F.array_join(toks, " ")
+    did = F.col("doc_id").cast("string")
+    nid = ((F.col("doc_id") + 1) % n).cast("string")
+    mode = F.col("doc_id") % 3
+    url = (
+        F.when(mode == 0, F.concat(F.lit("doc://"), did, F.lit("/page.html")))
+        .when(mode == 1, F.concat(F.lit("doc://"), did, F.lit("/page.md")))
+        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/page")))
+    )
+    content = (
+        F.when(mode == 0, F.concat(
+            F.lit("<html><head><title>Doc"), did, F.lit("</title></head><body>"),
+            body, F.lit(' <a href="doc://'), nid, F.lit('/page.html">more</a></body></html>'),
+        ))
+        .when(mode == 1, F.concat(
+            F.lit("# Doc"), did, F.lit("\n"), body,
+            F.lit("\n[more](doc://"), nid, F.lit("/page.md)"),
+        ))
+        .otherwise(F.concat(
+            F.lit("Doc"), did, F.lit("\n"), body,
+            F.lit("\nsee https://ex.com/"), nid,
+        ))
+    )
+    pages = d.select(url.alias("url"), F.encode(content, "utf-8").alias("html"))
+    m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+    return m.groupBy("url").agg(
+        F.sum((F.col("kind") == "DEF").cast("long")).alias("n_defs"),
+        F.sum((F.col("kind") == "REF").cast("long")).alias("n_refs"),
+        F.sum((F.col("kind") == "IMPORT").cast("long")).alias("n_imports"),
+        F.max(F.when(F.col("kind") == "DEF", F.col("name"))).alias("title"),
+    )
+
+
 def f7_pointless_counts(spark, sf_dir):
     fm = _filtered(spark, sf_dir)
     return fm.groupBy("url", "kind").agg(F.count("*").cast("long").alias("n"))

@@ -125,3 +125,51 @@ def test_md_profile_deterministic():
     from gossiphs_spark.operators.extract import extract_page_md
 
     assert extract_page_md("u.md", MD_GOLDEN) == extract_page_md("u.md", MD_GOLDEN)
+
+
+TXT_GOLDEN = (
+    b"\n  Survey Notes  \n"
+    b"the Magnetar reading near Sol.Quasar was strong,\n"
+    b"archived at https://example.org/archive.txt. Final batch follows\n"
+)
+
+
+def test_txt_profile_golden():
+    from gossiphs_spark.operators.extract import extract_page_txt
+
+    rows = extract_page_txt("doc://7/notes", TXT_GOLDEN)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r)
+    # first non-empty line, whitespace-stripped, is the page entity
+    assert [r[1] for r in by_kind["DEF"]] == ["Survey Notes"]
+    # bare url captured, trailing punctuation trimmed (F12 analog)
+    assert [r[1] for r in by_kind["IMPORT"]] == ["https://example.org/archive.txt"]
+    ref_names = sorted(r[1] for r in by_kind["REF"])
+    # title-line and url spans excluded from the entity scan
+    assert ref_names == ["Final", "Magnetar", "Sol.Quasar"]
+    s = TXT_GOLDEN.decode()
+    for r in rows:
+        assert s[r[3]:r[4]] == r[1]  # offsets anchor source bytes exactly
+    assert extract_page_txt("u", TXT_GOLDEN) == extract_page_txt("u", TXT_GOLDEN)
+
+
+def test_profile_dispatch_three_grammars():
+    """Extension picks md/txt/html; query strings and fragments are
+    stripped; extensionless urls sniff the content (leading '<' → html,
+    anything else → plain text)."""
+    from gossiphs_spark.operators.extract import (
+        extract_page, extract_page_md, extract_page_txt, profile_of,
+    )
+
+    assert profile_of("a/b.md") is extract_page_md
+    assert profile_of("a/b.md?v=2") is extract_page_md
+    assert profile_of("a/b.txt#frag") is extract_page_txt
+    assert profile_of("a/b.html") is extract_page
+    assert profile_of("a/b.xyz") is extract_page  # unknown ext → default
+    # extensionless: content sniff
+    assert profile_of("https://h/page", b"<html><body>x</body></html>") is extract_page
+    assert profile_of("https://h/page", b"  <!doctype html>") is extract_page
+    assert profile_of("https://h/page", TXT_GOLDEN) is extract_page_txt
+    # extensionless without a blob keeps the historical html default
+    assert profile_of("https://h/page") is extract_page
