@@ -5,9 +5,12 @@ search join that `ann_lsh_buckets` (profiling) and `ann_cosine_topk`
 (brute force) left apart — query → coarse quantizer probe → cosine-score
 ONLY the candidates in probed buckets → top-k.
 
-Index family: IVF-Flat with deterministically sampled centroids (the
-first ``n_centroids`` vectors by id — no k-means iteration, so the index
-is a pure function of the data and resume/retry/oracle-portable).
+Index family: IVF-Flat. Two deterministic quantizers: sampled centroids
+(the first ``n_centroids`` vectors by id — trivially oracle-portable,
+fine for well-spread ids) and k-means-lite trained centroids
+(train_centroids: hash-spread seeds + Lloyd rounds — required when ids
+correlate with cluster structure; see tests/test_ann.py's adversarial
+fixture). Both are pure functions of the data, so resume/retry-safe.
 Sign-random-projection LSH was evaluated and rejected for the default:
 on isotropic data the per-bit collision prob for a cos≈0.3 neighbor is
 ~0.61, so usable recall needs so many OR-tables that the candidate set
@@ -49,11 +52,68 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 def sample_centroids(cands: DataFrame, n_centroids: int = 16) -> DataFrame:
     """(vec_id, v) → (cid, cv): first n vectors by id. Deterministic; at
-    scale swap in k-means centroids without touching the search join."""
+    scale swap in k-means centroids (train_centroids below) without
+    touching the search join."""
     return (
         cands.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
+
+
+def train_centroids(cands: DataFrame, n_centroids: int = 16,
+                    iters: int = 2) -> DataFrame:
+    """Deterministic k-means-lite: hash-spread seeding (a seeded stand-in
+    for k-means|| sampling — md5(vec_id) ordering decorrelates the seeds
+    from any id↔cluster correlation that breaks first-n-by-id sampling)
+    followed by ``iters`` Lloyd rounds, everything DataFrame algebra:
+
+      assign:   broadcast-crossJoin with the k-row centroid dim + argmax
+                (map-side — no vector-vector shuffle)
+      update:   posexplode to (cid, dim, val) → mean → re-assembled array
+
+    Centroids collect to the driver between rounds (k × dim doubles — the
+    model, not data; this is how k-means training materializes its state
+    on any cluster). Empty clusters keep their previous centroid. Pure
+    function of (cands, n_centroids, iters) → resume/retry/oracle-safe."""
+    from gossiphs_spark.functions import md5_long
+
+    spark = cands.sparkSession
+    w = Window.orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
+    seeds = (
+        cands.select("vec_id", "v")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_centroids)
+        .select((F.col("_r") - 1).cast("long").alias("cid"), F.col("v").alias("cv"))
+    )
+    cents = [(r["cid"], list(r["cv"])) for r in seeds.collect()]
+    schema = "cid long, cv array<double>"
+    for _ in range(max(iters, 0)):
+        cdf = spark.createDataFrame(cents, schema)
+        assigned = (
+            cands.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "v", "cid", F.round(cosine("v", "cv"), 6).alias("cosc"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct(F.col("cosc"), (-F.col("cid")).alias("ncid"), F.col("v").alias("v"))).alias("m")
+            )
+            .select((-F.col("m.ncid")).alias("cid"), F.col("m.v").alias("v"))
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("cv")
+            )
+        )
+        new = {r["cid"]: list(r["cv"]) for r in means.collect()}
+        # empty clusters keep their previous centroid
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return spark.createDataFrame(cents, schema).select("cid", "cv")
 
 
 def ivf_assign(cands: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -76,7 +136,9 @@ def ivf_assign(cands: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
-                  threshold: float = 0.6, nassign: int = 2) -> DataFrame:
+                  threshold: float = 0.6, nassign: int = 2,
+                  train_iters: int = 0,
+                  warn_bucket_frac: float | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via IVF blocking: every
     vector is assigned to its ``nassign`` nearest centroids (multiple
     assignment — the standard cure for clusters straddling a centroid
@@ -85,9 +147,20 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
     (equi-self-join on cid — never all-pairs), pairs at cos ≥ threshold
     survive. → (vec_a, vec_b, cos), vec_a < vec_b, deduped across buckets.
 
+    ``train_iters > 0`` swaps the sampled centroids for k-means-trained
+    ones (train_centroids). ``warn_bucket_frac`` opts into bucket-size
+    visibility ('no silent caps'): when the largest bucket exceeds that
+    fraction of all assignments, log a warning — the within-bucket
+    self-join is quadratic in the largest bucket, so a degenerate
+    quantizer should be loud, not slow. Costs one extra aggregation job,
+    hence opt-in.
+
     The recall gate vs the unblocked brute-force pair set lives in
     tests/test_ann.py."""
-    cents = sample_centroids(emb, n_centroids)
+    cents = (
+        train_centroids(emb, n_centroids, train_iters)
+        if train_iters > 0 else sample_centroids(emb, n_centroids)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cid"))
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -96,6 +169,19 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
         .filter(F.col("_rn") <= nassign)
         .select("cid", "vec_id", "v")
     )
+    if warn_bucket_frac is not None:
+        sizes = assigned.groupBy("cid").count().agg(
+            F.max("count").alias("mx"), F.sum("count").alias("total")
+        ).collect()[0]
+        if sizes["total"] and sizes["mx"] > warn_bucket_frac * sizes["total"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "neardup_pairs: largest IVF bucket holds %d of %d assignments "
+                "(> %.0f%%) — pairwise stage degenerates toward quadratic; "
+                "train centroids (train_iters>0) or raise n_centroids",
+                sizes["mx"], sizes["total"], 100 * warn_bucket_frac,
+            )
     a = assigned.select(
         "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
@@ -112,12 +198,17 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
 
 
 def ivf_search(cands: DataFrame, queries: DataFrame, n_centroids: int = 16,
-               nprobe: int = 3, k: int = 10) -> DataFrame:
+               nprobe: int = 3, k: int = 10, train_iters: int = 0) -> DataFrame:
     """cands(vec_id, v) × queries(query_id, q) → (query_id, vec_id, cos, rnk).
 
     Scores only candidates assigned to one of the query's ``nprobe``
-    nearest centroids — the bucketed ANN search join."""
-    cents = sample_centroids(cands, n_centroids)
+    nearest centroids — the bucketed ANN search join. ``train_iters > 0``
+    uses k-means-trained centroids (train_centroids) instead of the
+    first-n sample; the search join is identical either way."""
+    cents = (
+        train_centroids(cands, n_centroids, train_iters)
+        if train_iters > 0 else sample_centroids(cands, n_centroids)
+    )
     assigned = ivf_assign(cands, cents)
 
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cosc"), F.asc("cid"))

@@ -81,6 +81,90 @@ def test_ivf_plan_has_no_crossjoin_on_candidates(spark, split):
     assert "CartesianProduct" not in plan
 
 
+def _adversarial_emb(spark, n=400, n_clusters=8, dim=16):
+    """Fixture where first-n-by-id centroid sampling measurably fails:
+    vec_ids 0..19 all belong to ONE cluster, so first-n sampling seeds
+    every centroid inside it; assignment of the other clusters' vectors
+    to those junk centroids is then noise-driven, so at nprobe=1 the
+    query's probed bucket and its true neighbors' buckets disagree.
+    Deterministic (md5 signs + md5 noise), no random."""
+    from gossiphs_spark.functions import md5_long
+
+    e = spark.range(n).select(F.col("id").cast("long").alias("vec_id"))
+    label = F.when(F.col("vec_id") < 20, F.lit(0)).otherwise(F.col("vec_id") % n_clusters)
+    e = e.withColumn("label", label)
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def comp(d):
+        sgn = F.when(
+            md5_long(F.concat(F.col("label").cast("string"), F.lit("#"), d.cast("string"))) % 2 == 0,
+            F.lit(2.0),
+        ).otherwise(F.lit(-2.0))
+        noise = 3.0 * (
+            (
+                md5_long(F.concat(F.col("vec_id").cast("string"), F.lit("@"), d.cast("string"))) % 1000
+            ) / 1000.0 - 0.5
+        )
+        return sgn + noise
+
+    return e.select("vec_id", F.transform(dims, comp).alias("v"))
+
+
+def _recall(queries, cands, approx_rows, k=10):
+    brute = {(r["query_id"], r["vec_id"]) for r in brute_topk(queries, cands, k).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    return len(brute & approx) / len(brute)
+
+
+def test_trained_centroids_beat_first_n_sampling(spark):
+    """k-means-lite training (train_centroids) must retain recall >= 0.9
+    on the adversarial id-clustered fixture where first-n-by-id sampling
+    measurably fails (VERDICT r2 item 6)."""
+    emb = _adversarial_emb(spark).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 21).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") % 50 != 21).cache()
+
+    # n_centroids matches the cluster count; nprobe=1 exposes the probe↔
+    # assignment disagreement that junk centroids cause (measured: sampled
+    # 0.64 vs trained 1.0 on this fixture)
+    sampled = ivf_search(cands, queries, n_centroids=8, nprobe=1, k=10).collect()
+    r_sampled = _recall(queries, cands, sampled)
+    trained = ivf_search(
+        cands, queries, n_centroids=8, nprobe=1, k=10, train_iters=2
+    ).collect()
+    r_trained = _recall(queries, cands, trained)
+    assert r_sampled < 0.9, f"fixture not adversarial (sampled recall {r_sampled})"
+    assert r_trained >= 0.9, f"trained recall {r_trained}"
+    assert r_trained > r_sampled
+    emb.unpersist()
+    cands.unpersist()
+
+
+def test_train_centroids_deterministic(spark):
+    from gossiphs_spark.operators.ann import train_centroids
+
+    emb = _adversarial_emb(spark, n=100)
+    a = sorted(map(tuple, train_centroids(emb, 8, iters=2).collect()))
+    b = sorted(map(tuple, train_centroids(emb, 8, iters=2).collect()))
+    assert a == b
+
+
+def test_neardup_oversized_bucket_warns(spark, caplog):
+    """Bucket-size visibility (ADVICE r2): a degenerate quantizer (1
+    centroid = everything in one bucket) must log, not silently go
+    quadratic."""
+    import logging
+
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    emb = _adversarial_emb(spark, n=60)
+    with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.ann"):
+        neardup_pairs(emb, n_centroids=1, nassign=1, warn_bucket_frac=0.5).count()
+    assert any("largest IVF bucket" in r.message for r in caplog.records)
+
+
 def test_neardup_pairs_recall_vs_brute_force(spark):
     """dd family, 5th member: IVF-blocked near-dup pairs must find >= 0.9
     of the brute-force cos >= 0.6 pairs on the clustered fixture, and
