@@ -225,16 +225,30 @@ def build_graph(
     n_pages = stats["n_pages"]
     bcast_ok = stats["n_names"] <= cfg.broadcast_threshold_rows
     # fm is referenced by ~25 downstream joins/unions — prune to the 4
-    # columns the scoring tail needs before caching. (Plan-depth note: a
-    # localCheckpoint here would also truncate the analyzed tree and cut
-    # driver latency, but it strips Catalyst size stats from everything
-    # downstream — measured 38.8 s → 70-110 s at sf0.1 as ~10 small-side
-    # joins degraded from broadcast to sort-merge. cache keeps the stats.)
-    fm = (
-        filter_pointless_full(mentions, cfg.symbol_len_limit, bcast_ok)  # F6+F7
-        .select("url", "name", "kind", "start_byte")
-        .cache()
-    )
+    # columns the scoring tail needs, then MATERIALIZE the stage to scratch
+    # parquet (cfg.stage_materialize). Two reasons:
+    #   * driver latency: every downstream DataFrame op re-analyzes its
+    #     whole logical subtree; cutting the tree at fm took the sf0.1
+    #     plan-build from ~14 s to ~5 s. (localCheckpoint also cuts the
+    #     tree but REPLACES size stats with defaultSizeInBytes — measured
+    #     38.8 s → 70-110 s in r2 as ~10 small-side joins degraded from
+    #     broadcast to sort-merge. A parquet stage keeps REAL stats.)
+    #   * scale shape: fm is the natural stage boundary of the north-star
+    #     pipeline — on a cluster this is the lineage-checkpointed Iceberg
+    #     stage table a killed scoring run resumes from (lineage.TripleSink
+    #     is the same seam); the sandbox backend is a scratch dir.
+    fm = filter_pointless_full(mentions, cfg.symbol_len_limit, bcast_ok)  # F6+F7
+    fm = fm.select("url", "name", "kind", "start_byte")
+    if cfg.stage_materialize:
+        import os
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="gossiphs_stage_")
+        fm_path = os.path.join(scratch, "fm")
+        fm.write.mode("overwrite").parquet(fm_path)
+        fm = spark.read.parquet(fm_path).cache()
+    else:
+        fm = fm.cache()
     defs = fm.filter(F.col("kind") == "DEF")
     refs = fm.filter(F.col("kind") == "REF")
     imports = fm.filter(F.col("kind") == "IMPORT")
