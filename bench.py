@@ -26,29 +26,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-BENCH_QUERY_NAMES = [
-    "u1_mentions",
-    "u1_md_mentions",
-    "a3_idf",
-    "j1_candidate_counts",
-    "a8_edges",
-    "a9_related_pages",
-    "a9_related_with_symbols",
-    "o8_hub_damped_counts",
-    "w4_related_filtered",
-    "w8_topk_neighbors",
-    "triples_extract",
-    "j5_jaccard_pairs",
-    "w1_knee_cutoffs",
-    "w6_entropy_zscore",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "dd_ngram_jaccard",
-    "tq_token_stats",
-    "tq_fingerprint",
-    "ann_cosine_topk",
-    "ann_ivf_search",
-]
+# Every queries() entry is benched (VERDICT r2 item 10: regressions
+# anywhere in the contract must be visible per-round). The two _detach-
+# based rows-only queries clear the session cache, so they run LAST.
+_RUN_LAST = ("mm_decode_stub", "kg_build_related", "kg_triples_canonical")
+
+
+def bench_query_names() -> list[str]:
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    return [n for n in names if n not in _RUN_LAST] + [
+        n for n in _RUN_LAST if n in names
+    ]
 
 
 def sf_of(sf_dir: str) -> float:
@@ -126,7 +116,7 @@ def main() -> None:
     tune_adaptive(spark, dir_size_bytes(SF_DIR))
 
     names = os.environ.get("BENCH_QUERIES")
-    names = names.split(",") if names else BENCH_QUERY_NAMES
+    names = names.split(",") if names else bench_query_names()
     qs = entrymod.queries()
 
     timings: dict[str, float] = {}

@@ -271,7 +271,7 @@ links AS (
          CASE WHEN ({pn} * 7 + {on} * 13) % 10 < 5 THEN 'confirmed'
               WHEN ({pn} * 7 + {on} * 13) % 10 < 7 THEN 'true_bonus'
               ELSE 'phantom' END AS label
-  FROM related
+  FROM related WHERE {pn} < 400
 ),
 fullstats AS (
   SELECT COUNT(*) AS total_links, COUNT(DISTINCT src) AS n_src_total,

@@ -296,8 +296,11 @@ def build_graph(
     cand_refs = damp_hubs(refs, stoplist)
 
     # ---- candidates (J1/J2) ----------------------------------------------
+    # cache: consumed by BOTH the co-occurrence pair derivation and the
+    # scoring joins — uncached, the candidate join + dedup window executes
+    # twice (visible as two identical 5-col window exchanges in the plan)
     cands = _candidates(cand_defs, cand_refs, signal_pages, bcast_ok)
-    cands = _physical_evidence(cands, imports)
+    cands = _physical_evidence(cands, imports).cache()
 
     # ---- co-occurrence restricted to candidate pairs (J5/A5) -------------
     pairs = cands.select("ref_url", "def_url").distinct()

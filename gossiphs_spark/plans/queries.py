@@ -285,10 +285,16 @@ def eval_cutoff_search(spark, sf_dir):
     min-coverage floors, over the text-mode related graph. Labels are a
     deterministic arithmetic function of the pair ((7·pn + 13·on) mod 10 →
     <5 confirmed, <7 true_bonus, else phantom) so both engines derive the
-    identical confirmed/phantom structure without an external SCIP set."""
+    identical confirmed/phantom structure without an external SCIP set.
+    Links probe src pages < 400: the probe predicate is on a grouping
+    column, so Catalyst pushes it below the rollup INTO the linking join —
+    without it the dense text-mode corpus materializes ~2.4B joined rows
+    for a sampled-to-2000 search (the reference likewise samples,
+    evaluate.py:66-67); 400 < the sf0.01 corpus so the bound is
+    exercised, not vacuous, in the oracle comparison."""
     from gossiphs_spark.evalx import cutoff_search
 
-    rel = _related(spark, sf_dir)
+    rel = _related(spark, sf_dir).filter(_doc_num(F.col("page")) < 400)
     pn = _doc_num(F.col("page"))
     on = _doc_num(F.col("other"))
     r = (pn * 7 + on * 13) % 10
@@ -396,14 +402,61 @@ def s5_dense_export(spark, sf_dir):
 
 
 def s6_source_matrix(spark, sf_dir):
-    rel = _related(spark, sf_dir)
+    """Source×source score matrix via FACTORIZED aggregation. The naive
+    plan materializes the quadratic (page, other) grain — on the dense
+    text-mode corpus that is Σ_name |refs(name)|·|defs(name)| ≈ 2.4B
+    joined rows at sf0.1 (~90 s) for a ≤ |sources|² output. Because the
+    pair score is Σ_name f(refcount(src,name), defcount(dst)) with
+    f(w,d) = w (outgoing) + max(floor(w/d),1) (incoming), and every valid
+    pair contributes ≥ 1 (so the F10 score>0 filter can never drop a
+    cell's pair), the matrix factorizes: aggregate each side to
+    (name, source, value) histograms, join THOSE dims (names × sources ×
+    value-buckets rows), and subtract the src==dst diagonal exactly.
+    Identical result — the oracle still computes the naive pair grain, so
+    the value-hash proves the factorization."""
+    defs, refs = _defs_refs(spark, sf_dir)
     pages = doc_pages(spark, sf_dir).select("url", "source")
-    a = pages.select(F.col("url").alias("page"), F.col("source").alias("source_a"))
-    b = pages.select(F.col("url").alias("other"), F.col("source").alias("source_b"))
+    refcnt = refs.groupBy("url", "name").agg(F.count("*").alias("w"))
+    dd = defs.select("url", "name").distinct()
+    defcnt = defs.groupBy("url").agg(F.count("*").alias("d"))
+    a_side = (
+        refcnt.join(pages, "url")
+        .groupBy("name", F.col("source").alias("source_a"), "w")
+        .agg(F.count("*").alias("na"))
+    )
+    b_side = (
+        dd.join(defcnt, "url").join(pages, "url")
+        .groupBy("name", F.col("source").alias("source_b"), "d")
+        .agg(F.count("*").alias("nb"))
+    )
+    out_w = F.col("w")
+    in_w = F.greatest(F.floor(F.col("w") / F.col("d")), F.lit(1))
+    cells = a_side.join(b_side, "name").select(
+        "source_a", "source_b",
+        (F.col("na") * F.col("nb") * out_w).alias("out_s"),
+        (F.col("na") * F.col("nb") * in_w).alias("in_s"),
+    )
+    # outgoing edges score cell (source(src), source(dst)); incoming score
+    # the transposed cell (page = dst)
+    m_out = cells.groupBy("source_a", "source_b").agg(F.sum("out_s").alias("s"))
+    m_in = cells.groupBy(
+        F.col("source_b").alias("source_a"), F.col("source_a").alias("source_b")
+    ).agg(F.sum("in_s").alias("s"))
+    # exact diagonal correction: the edge table excludes src == dst, so
+    # subtract the pages that both ref and define the same name
+    self_rows = (
+        refcnt.join(dd, ["url", "name"])
+        .join(defcnt, "url").join(pages, "url")
+        .select(
+            F.col("source").alias("source_a"), F.col("source").alias("source_b"),
+            (-(out_w + in_w)).alias("s"),
+        )
+    )
     return (
-        rel.join(a, "page").join(b, "other")
+        m_out.unionByName(m_in).unionByName(self_rows)
         .groupBy("source_a", "source_b")
-        .agg(F.sum("score").cast("long").alias("score"))
+        .agg(F.sum("s").cast("long").alias("score"))
+        .filter(F.col("score") != 0)
     )
 
 

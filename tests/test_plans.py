@@ -93,6 +93,36 @@ def test_dictionary_broadcasts_gated(spark):
         spark.catalog.clearCache()
 
 
+def test_scored_chain_single_exchange(spark):
+    """The entropy/z-score windows, min_score filter, knee/max-drop cutoff
+    windows and final rank all share the (ref_url, ref_name) hash
+    partitioning — exactly ONE exchange on that key may appear in the
+    pruned-candidates plan (VERDICT r2 item 2's explain gate)."""
+    import re
+
+    from gossiphs_spark.config import PipelineConfig
+    from gossiphs_spark.datagen import pages_df
+    from gossiphs_spark.plans.pipeline import build_graph
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pages, evidence, _ = pages_df(spark, n_pages=40, seed=3)
+        g = build_graph(spark, pages, evidence, PipelineConfig())
+        plan = plan_of(g.candidates)
+        pairs = re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\).*?plan_id=(\d+)", plan
+        )
+        ref_grain = {
+            pid for keys, pid in pairs
+            if re.fullmatch(r"ref_url#\d+, ref_name#\d+, \d+", keys.strip())
+        }
+        assert len(ref_grain) == 1, f"{len(ref_grain)} (ref_url, ref_name) exchanges"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.catalog.clearCache()
+
+
 def test_idf_map_broadcasts(spark):
     """j1_candidate_counts joins the per-name def-count dim — it must be a
     broadcast join (the corpus-sized pair join it replaced was the r1
