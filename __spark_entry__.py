@@ -76,6 +76,8 @@ _QUERY_NAMES = [
     "tq_langid",
     "tq_langid_profiles",
     "tq_fingerprint",
+    "tq_bpe_tokens",
+    "tq_winnow_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_search",

@@ -808,6 +808,44 @@ FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
 LEFT JOIN lp_best b ON d.doc_id = b.doc_id
 """
 
+ORACLES["tq_bpe_tokens"] = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+       ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+             / len(list_filter(string_split(text, ' '), w -> w <> '')), 6) AS bpe_per_ws
+FROM documents
+"""
+
+ORACLES["tq_winnow_fingerprints"] = """
+WITH wd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         length(text) - 7 AS n_grams
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n_grams, CAST(unnest(range(1, GREATEST(n_grams, 0) + 1)) AS BIGINT) AS i, text
+  FROM wd
+),
+hashed AS (
+  SELECT doc_id, n_grams, i,
+         CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT) AS h
+  FROM grams
+),
+winmin AS (
+  SELECT doc_id, i, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+  FROM hashed
+),
+picked AS (
+  SELECT DISTINCT doc_id, mh FROM winmin WHERE i <= n_grams - 15
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(bit_xor(mh) AS BIGINT) AS xor_sig
+FROM picked GROUP BY doc_id
+"""
+
 ORACLES["tq_fingerprint"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(('0x' || substring(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint

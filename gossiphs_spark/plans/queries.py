@@ -799,6 +799,56 @@ def tq_langid_profiles(spark, sf_dir):
     return langid_argmax(docs)
 
 
+def tq_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex token counting (builder's brief: 'token counting
+    (whitespace + a BPE-ish regex)'): tokens = maximal letter runs |
+    digit runs | single punctuation — the greedy pre-tokenization BPE
+    vocabularies train on — compared against the whitespace count."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.size(ws), 6).alias("bpe_per_ws"),
+    )
+
+
+def tq_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting via winnowing (rolling char-8-gram hashes,
+    min per 16-gram sliding window — Schleimer et al.'s standard local
+    fingerprint; brief: 'document fingerprinting (rolling hash)'). Per
+    doc: distinct selected fingerprint count + their bit_xor signature
+    (order-free, overflow-free across engines)."""
+    k, w = 8, 16
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        (F.length("text") - (k - 1)).alias("n_grams"),
+    )
+    grams = d.select(
+        "doc_id", "n_grams",
+        F.explode(F.sequence(F.lit(1), F.greatest("n_grams", F.lit(0)))).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id", "n_grams", "i",
+        md5_long(F.expr(f"substring(text, i, {k})")).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    picked = (
+        grams.withColumn("mh", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("n_grams") - (w - 1))  # full windows only
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    return picked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.expr("bit_xor(mh)").cast("long").alias("xor_sig"),
+    )
+
+
 def tq_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
