@@ -71,6 +71,7 @@ _QUERY_NAMES = [
     "dd_ngram_jaccard",
     "dd_minhash_lsh",
     "dd_simhash",
+    "u4_canonical_components",
     "tq_token_stats",
     "tq_quality",
     "tq_langid",

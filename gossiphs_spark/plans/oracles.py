@@ -701,6 +701,79 @@ SELECT doc_id, CAST(band AS BIGINT) AS band,
 FROM bands
 """
 
+ORACLES["u4_canonical_components"] = """
+WITH RECURSIVE
+cc_base AS (SELECT DISTINCT p_name AS name FROM part),
+cc_names AS (
+  SELECT name FROM cc_base
+  UNION SELECT name || 's' FROM cc_base
+  UNION SELECT name || 'es' FROM cc_base
+),
+cc_norm AS (
+  SELECT name, lower(regexp_replace(name, '[^A-Za-z0-9]', '', 'g')) AS norm
+  FROM cc_names
+),
+cc_sh AS (
+  SELECT DISTINCT name, substring(norm, CAST(i AS INT), 3) AS shingle
+  FROM cc_norm,
+       LATERAL (SELECT unnest(range(1, GREATEST(length(norm) - 2, 1) + 1)) AS i)
+  WHERE length(substring(norm, CAST(i AS INT), 3)) > 0
+),
+cc_perms AS (SELECT CAST(unnest(range(16)) AS INT) AS p),
+cc_sig AS (
+  SELECT name, p,
+         MIN(CAST(('0x' || substring(md5(shingle || '#' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
+  FROM cc_sh, cc_perms GROUP BY name, p
+),
+cc_bands AS (
+  SELECT name, CAST(p // 4 AS INT) AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p) AS band_key
+  FROM cc_sig GROUP BY name, CAST(p // 4 AS INT)
+),
+cc_blocked AS (
+  SELECT b.name, b.band, b.band_key,
+         substring(lower(regexp_replace(
+             string_split(b.name, '.')[-1], '[^A-Za-z0-9]', '', 'g')), 1, 4) AS block
+  FROM cc_bands b
+),
+cc_cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM cc_blocked a
+  JOIN cc_blocked b
+    ON a.block = b.block AND a.band = b.band AND a.band_key = b.band_key
+  WHERE a.name < b.name
+),
+cc_sizes AS (SELECT name, COUNT(*) AS n_sh FROM cc_sh GROUP BY name),
+cc_inter AS (
+  SELECT c.name_a, c.name_b, COUNT(*) AS inter
+  FROM cc_cand c
+  JOIN cc_sh sa ON sa.name = c.name_a
+  JOIN cc_sh sb ON sb.name = c.name_b AND sb.shingle = sa.shingle
+  GROUP BY c.name_a, c.name_b
+),
+cc_verified AS (
+  SELECT i.name_a, i.name_b
+  FROM cc_inter i
+  JOIN cc_sizes za ON za.name = i.name_a
+  JOIN cc_sizes zb ON zb.name = i.name_b
+  WHERE i.inter * 1.0 / (za.n_sh + zb.n_sh - i.inter) >= 0.6
+),
+cc_edges AS (
+  SELECT name_a, name_b FROM cc_verified
+  UNION ALL SELECT name_b, name_a FROM cc_verified
+),
+cc_reach(name, m) AS (
+  SELECT name, name FROM cc_names
+  UNION
+  SELECT r.name, e.name_b FROM cc_reach r JOIN cc_edges e ON e.name_a = r.m
+),
+cc_labels AS (SELECT name, MIN(m) AS label FROM cc_reach GROUP BY name)
+SELECT name,
+       CAST(('0x' || substring(md5(label), 1, 15)) AS BIGINT) AS entity_id,
+       label AS canonical_name
+FROM cc_labels
+"""
+
 ORACLES["dd_simhash"] = """
 WITH sim_tok AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS w
