@@ -51,6 +51,7 @@ _QUERY_NAMES = [
     "so1_snapshot_diff",
     "s5_dense_export",
     "s6_source_matrix",
+    "kg_pagerank",
     # evidence-based scoring (§2.3 J5, §2.4, §2.5)
     "f8_valid_evidence",
     "a4_decayed_cardinality",

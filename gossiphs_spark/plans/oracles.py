@@ -701,6 +701,56 @@ SELECT doc_id, CAST(band AS BIGINT) AS band,
 FROM bands
 """
 
+ORACLES["kg_pagerank"] = KG + f""",
+pr_e AS (
+  SELECT src_url, dst_url, CAST(SUM(weight) AS BIGINT) AS w
+  FROM edges
+  WHERE {DOCN.format(col='src_url')} < 300 AND {DOCN.format(col='dst_url')} < 300
+  GROUP BY src_url, dst_url
+),
+pr_nodes AS (SELECT src_url AS node FROM pr_e UNION SELECT dst_url FROM pr_e),
+pr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pr_nodes),
+pr_out AS (SELECT src_url, SUM(w) AS out_w FROM pr_e GROUP BY src_url),
+pr_share AS (
+  SELECT e.src_url AS s, e.dst_url AS d,
+         CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS share
+  FROM pr_e e JOIN pr_out o ON e.src_url = o.src_url
+),
+pr_r0 AS (SELECT node, CAST(1 AS DOUBLE) / pn.n AS rank FROM pr_nodes, pr_n pn),
+-- teleport mirrors Spark's IEEE (1.0 - 0.85), NOT DuckDB's exact decimal 0.15
+pr_r1 AS (
+  SELECT nd.node,
+         ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / pn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.c, 0), 12) AS rank
+  FROM pr_nodes nd CROSS JOIN pr_n pn
+  LEFT JOIN (
+    SELECT s.d, SUM(s.share * r.rank) AS c
+    FROM pr_share s JOIN pr_r0 r ON r.node = s.s GROUP BY s.d
+  ) c ON c.d = nd.node
+),
+pr_r2 AS (
+  SELECT nd.node,
+         ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / pn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.c, 0), 12) AS rank
+  FROM pr_nodes nd CROSS JOIN pr_n pn
+  LEFT JOIN (
+    SELECT s.d, SUM(s.share * r.rank) AS c
+    FROM pr_share s JOIN pr_r1 r ON r.node = s.s GROUP BY s.d
+  ) c ON c.d = nd.node
+),
+pr_r3 AS (
+  SELECT nd.node,
+         ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / pn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.c, 0), 12) AS rank
+  FROM pr_nodes nd CROSS JOIN pr_n pn
+  LEFT JOIN (
+    SELECT s.d, SUM(s.share * r.rank) AS c
+    FROM pr_share s JOIN pr_r2 r ON r.node = s.s GROUP BY s.d
+  ) c ON c.d = nd.node
+)
+SELECT node AS page, ROUND(rank, 6) AS pagerank FROM pr_r3
+"""
+
 ORACLES["u4_canonical_components"] = """
 WITH RECURSIVE
 cc_base AS (SELECT DISTINCT p_name AS name FROM part),

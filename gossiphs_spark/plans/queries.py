@@ -983,6 +983,32 @@ def kg_triples_canonical(spark, sf_dir):
     return _detach(spark, canonicalize_triples(triples))
 
 
+def kg_pagerank(spark, sf_dir):
+    """Weighted PageRank over the materialized KG edge table (beyond-
+    reference op: entity/page importance for corpus curation — pick
+    canonical pages, weight training documents). Three fixed iterations,
+    damping 0.85, per-iteration 12-dp rounding; the oracle unrolls the
+    identical recurrence, so the iterative operator itself is
+    value-verified (like u4_canonical_components)."""
+    from gossiphs_spark.operators.graphops import pagerank
+
+    e, _ = _edges(spark, sf_dir)
+    # deterministic subgraph bound (same pattern as a8/a9/w4 probes): the
+    # text-mode corpus is link-dense, so the full edge set is ~quadratic
+    # in pages; both endpoint predicates push below the linking join into
+    # the def/ref scans. 300 < the sf0.01 corpus, so the bound is
+    # exercised, not vacuous, in the oracle comparison.
+    e = e.filter(
+        (_doc_num(F.col("src_url")) < 300) & (_doc_num(F.col("dst_url")) < 300)
+    )
+    agg = e.groupBy("src_url", "dst_url").agg(F.sum("weight").alias("w"))
+    pr = pagerank(agg, src="src_url", dst="dst_url", weight="w",
+                  iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("page"), F.round("rank", 6).alias("pagerank")
+    )
+
+
 def u4_canonical_components(spark, sf_dir):
     """U4 end-to-end, oracle-verified: blocking + MinHash-LSH + exact
     Jaccard verify + connected components (ref graph.rs:620-645 symbol

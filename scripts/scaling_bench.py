@@ -189,9 +189,10 @@ pruning → rollup): at sandbox data volumes its ~40-stage critical path is
 per-stage-overhead-bound and does not exhibit meaningful core scaling;
 its absolute cost is tracked per-round in BENCH_r{{N}}.json via bench.py.
 
-Transparency — measurements at other operating points (same job, r1):
+Transparency — measurements at other operating points (same job):
 | pinned cpus | corpus | steady-state sec | tps | note |
 |---|---|---|---|---|
+| 2 vs 8, NO equal-load control (r2) | 500k pages | 342.4 → 130.9 | 115.7k → 302.6k | eff 0.654 — the 2-core level alone on an otherwise idle box ran ~31% faster per core than under equal total load (clock boost / hypervisor-steal asymmetry), deflating the ratio; r1 measured 0.879 in the same uncontrolled setup when the box happened to be busier. The controlled number above is the honest one: both levels at identical active-core count. |
 | 8 vs 32 | 250k pages | 17.6 → 9.2 (extract leg) | — | eff ≈ 0.48: single-JVM shared-runtime costs (GC threads, allocation churn from ~20M rows crossing the Arrow boundary) burn extra CPU at high thread counts; utilization sampling shows all 32 cores busy during compute, i.e. the plan itself has no serial stage — a local-mode artifact a multi-executor cluster does not share (each executor runs few cores with its own heap) |
 | 8 vs 32 | 1.5M pages | 435 → 400 (full job) | 273k → 297k | memory-pressure regime: 20 GB cached corpus + 12 GB shuffle in one 64 GB heap; both levels degrade to the same spill/GC floor |
 

@@ -72,3 +72,53 @@ def test_windowed_crawl_stats_with_watermark(spark, tmp_path):
     assert got  # at least the finalized windows arrived
     assert got <= exp_all  # every emitted window matches batch exactly
     assert len(exp_all) - len(got) <= 1  # only the open tail window held back
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming url-dedup: re-fetches inside the watermark collapse to
+    one row per url; state is watermark-bounded."""
+    from gossiphs_spark.streaming.dedup import dedup_stream
+
+    pages, _, _ = pages_df(spark, n_pages=30, seed=5)
+    # simulate re-fetches: every page lands twice, second copy 1 hour later
+    refetch = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    landing = str(tmp_path / "dl")
+    pages.unionByName(refetch).write.parquet(landing)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(landing)
+    q = (
+        dedup_stream(stream, keys=("url",), watermark="1 day")
+        .writeStream.format("memory").queryName("dedup_urls")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT url FROM dedup_urls").collect()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls)) == 30  # one row per url, none lost
+
+
+def test_stream_dedup_by_content(spark, tmp_path):
+    """Content-addressed streaming dedup: mirrors (same html, different
+    url) collapse; distinct content survives."""
+    from gossiphs_spark.streaming.dedup import dedup_stream_by_content
+
+    pages, _, _ = pages_df(spark, n_pages=20, seed=5)
+    mirror = pages.withColumn("url", F.concat(F.lit("mirror-"), F.col("url")))
+    landing = str(tmp_path / "dc")
+    pages.unionByName(mirror).write.parquet(landing)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(landing)
+    q = (
+        dedup_stream_by_content(stream, text_col="html", watermark="1 day")
+        .writeStream.format("memory").queryName("dedup_content")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT url, html FROM dedup_content").collect()
+    assert len(rows) == 20  # one survivor per distinct html
+    assert len({bytes(r["html"]) for r in rows}) == 20
+    assert "_chash" not in spark.sql("SELECT * FROM dedup_content").columns
