@@ -47,7 +47,11 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI divide-by-zero job kill) for zero-norm vectors:
+    one degenerate embedding must not fail a 100 TB run. NULL similarity
+    ranks below every real score in the max/top-k aggregations."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def sample_centroids(cands: DataFrame, n_centroids: int = 16) -> DataFrame:
@@ -78,11 +82,17 @@ def train_centroids(cands: DataFrame, n_centroids: int = 16,
     from gossiphs_spark.functions import md5_long
 
     spark = cands.sparkSession
-    w = Window.orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
+    # seed pick is a distributed top-k (TakeOrderedAndProject), NOT a
+    # global row_number window — that would funnel all 10^9 vectors
+    # through one task (the r1 dense_ids anti-pattern). The window below
+    # only numbers the k survivors.
+    w = Window.orderBy("_h", "vec_id")
     seeds = (
-        cands.select("vec_id", "v")
+        cands.select("vec_id", "v",
+                     md5_long(F.col("vec_id").cast("string")).alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(n_centroids)
         .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
         .select((F.col("_r") - 1).cast("long").alias("cid"), F.col("v").alias("cv"))
     )
     cents = [(r["cid"], list(r["cv"])) for r in seeds.collect()]

@@ -212,11 +212,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     two engines agree bit-for-bit)."""
     teleport = 1.0 - damping  # IEEE double, mirrored as (1 - 0.85) in SQL
     # cache: `nodes` is read by the count + every iteration's left join,
-    # `share` by every iteration's contribution agg — uncached, each
-    # iteration re-derives the whole upstream edge pipeline (measured
-    # 245 s → single-digit s at sf0.1). cache(), NOT localCheckpoint:
-    # checkpointing strips Catalyst size stats and degrades the per-
-    # iteration joins (r2 finding).
+    # `share` by every iteration's contribution agg — uncached, each of
+    # the 1 + 2·iters consumers re-derives the whole upstream edge
+    # pipeline. cache(), NOT localCheckpoint: checkpointing strips
+    # Catalyst size stats and degrades the per-iteration joins (r2
+    # finding). If `edges` itself is expensive AND huge, bound it before
+    # calling (the contract query probe-bounds the link-dense subgraph;
+    # caching cannot absorb a ~quadratic edge materialization).
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))

@@ -69,3 +69,38 @@ def test_relate_file_max_links_caps_output(corpus_dirs):
     from collections import Counter
     per_page = Counter(l["page"] for l in lines)
     assert max(per_page.values()) == 1
+
+
+def test_spark_submit_py_files(tmp_path):
+    """North-rule launch mode, for real: the package ships ONLY via
+    ``spark-submit --py-files <zip>`` — the child runs from an empty cwd
+    with no repo on PYTHONPATH, so a passing run proves the zip carries
+    everything the driver and executors import."""
+    import os
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        pytest.skip("no spark-submit on PATH/SPARK_HOME")
+
+    from gossiphs_spark.session import _package_zip
+
+    out = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", _package_zip(),
+            "/root/repo/scripts/submit_job.py",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out, "--job", "related",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["job"] == "related" and stats["rows"] > 0

@@ -132,3 +132,53 @@ def test_dense_ids_no_single_partition_exchange(spark):
     rows = sorted((r["url"], r["id"]) for r in out.collect())
     assert [i for _, i in rows] == sorted(i for _, i in rows)
     assert len({i for _, i in rows}) == 5000
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a 3-cycle with equal weights, rank is exactly 1/N every
+    iteration: (1-d)/3 + d/3 = 1/3 — pins the recurrence constants."""
+    from gossiphs_spark.operators.graphops import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-9
+
+
+def test_pagerank_star_and_weights(spark):
+    """Hand-computed 3-iteration values: star a→{b,c}; dangling b, c keep
+    only teleport mass flowing; weighted split 3:1 shifts rank to b."""
+    from gossiphs_spark.operators.graphops import pagerank
+
+    star = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(star).collect()}
+    # after iter1 a=0.05 (teleport only); fixpoint b=c=0.05+0.85*0.5*0.05
+    assert abs(got["a"] - 0.05) < 1e-9
+    assert abs(got["b"] - 0.07125) < 1e-9
+    assert abs(got["c"] - 0.07125) < 1e-9
+
+    weighted = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(weighted).collect()}
+    assert abs(got["b"] - (0.05 + 0.85 * 0.75 * 0.05)) < 1e-9
+    assert abs(got["c"] - (0.05 + 0.85 * 0.25 * 0.05)) < 1e-9
+    assert got["b"] > got["c"]
+
+
+def test_pagerank_mass_bounded(spark):
+    """Total rank mass stays in (0, 1]: teleport is conserved, dangling
+    mass decays (documented simplification, mirrored in the oracle)."""
+    from gossiphs_spark.operators.graphops import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "d", 1)],
+        "src string, dst string, w long",
+    )
+    ranks = [r["rank"] for r in pagerank(edges, iters=5).collect()]
+    assert all(r > 0 for r in ranks)
+    assert 0.5 < sum(ranks) <= 1.0 + 1e-9
