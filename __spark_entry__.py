@@ -78,6 +78,8 @@ _QUERY_NAMES = [
     "tq_langid",
     "tq_langid_profiles",
     "tq_fingerprint",
+    "tq_source_curation",
+    "ev_sessions",
     "tq_bpe_tokens",
     "tq_winnow_fingerprints",
     "ann_cosine_topk",

@@ -1,0 +1,144 @@
+"""Incremental KG maintenance: splice a changed-page batch into the
+materialized state and recompute related-pages ONLY for affected pages.
+
+The reference rebuilds from scratch per run (its incremental surface is
+the blob cache, /root/reference/src/cache.rs:14-59 — it caches
+extraction, not graph state). At web scale a continuous crawl re-lands a
+tiny fraction of pages per batch; rebuilding the full related table for
+that is the single biggest waste in the pipeline. This module maintains
+three materialized tables (mentions, per-name stats, related) and updates
+them with joins whose size is bounded by the delta, not the corpus:
+
+  affected names = names on the changed pages (old version ∪ new version)
+    — any other name has identical mentions everywhere, so its global
+    keep-status (F7), its edges, and its def-counts are all unchanged;
+  affected pages = pages carrying an affected name, ∪ the changed pages
+    — a page outside this set has no incident edge through an affected
+    name and an unchanged def_count, so its related rows are unchanged
+    (proof sketch: every edge names a DEF on its dst and a REF on its
+    src; if either endpoint's mention set changed, the edge's name is on
+    a changed page and therefore affected).
+
+The F7 keep decisions need GLOBAL name existence — that is exactly what
+the maintained per-name stats table provides, so the keep-filter of the
+recompute slice never scans the corpus. tests/test_incremental.py proves
+the spliced result equals a from-scratch rebuild, including names whose
+keep-status flips in either direction.
+
+Scale shape: every step is a join keyed on name or url against
+delta-bounded tables; the only corpus-sized inputs are the maintained
+tables themselves, read through name-/url-keyed semi-joins that prune to
+the affected slice. No broadcasts of corpus-sized sides, no windows over
+the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gossiphs_spark.operators import textmode as tm
+
+
+def name_stats(m: DataFrame, symbol_len_limit: int = 3) -> DataFrame:
+    """mentions → (name, n_defs, n_refs) over length-filtered rows — the
+    materialized global-existence aggregate the F7 keep rules read."""
+    return (
+        m.filter(F.length("name") > symbol_len_limit)
+        .groupBy("name")
+        .agg(
+            F.sum((F.col("kind") == "DEF").cast("long")).alias("n_defs"),
+            F.sum((F.col("kind") == "REF").cast("long")).alias("n_refs"),
+        )
+    )
+
+
+def _signed(stats: DataFrame, sign: int) -> DataFrame:
+    return stats.select(
+        "name",
+        (F.col("n_defs") * sign).alias("n_defs"),
+        (F.col("n_refs") * sign).alias("n_refs"),
+    )
+
+
+def update_name_stats(stats_old: DataFrame, old_slice: DataFrame,
+                      new_slice: DataFrame,
+                      symbol_len_limit: int = 3) -> DataFrame:
+    """stats' = stats − contrib(old version of changed pages)
+                      + contrib(new version); drop names that hit zero."""
+    merged = (
+        _signed(stats_old, 1)
+        .unionByName(_signed(name_stats(old_slice, symbol_len_limit), -1))
+        .unionByName(_signed(name_stats(new_slice, symbol_len_limit), 1))
+        .groupBy("name")
+        .agg(F.sum("n_defs").alias("n_defs"), F.sum("n_refs").alias("n_refs"))
+        .filter((F.col("n_defs") > 0) | (F.col("n_refs") > 0))
+    )
+    return merged
+
+
+def _kept(m: DataFrame, stats: DataFrame) -> DataFrame:
+    """F7 keep rules evaluated against the maintained stats (no corpus
+    scan): DEF kept iff the name has any REF globally, REF kept iff any
+    DEF. Exact-name text-mode semantics (tm.filter_pointless twin)."""
+    s = stats.select("name", "n_defs", "n_refs")
+    joined = m.join(s, "name")
+    return joined.filter(
+        ((F.col("kind") == "DEF") & (F.col("n_refs") > 0))
+        | ((F.col("kind") == "REF") & (F.col("n_defs") > 0))
+    ).drop("n_defs", "n_refs")
+
+
+def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
+                related_old: DataFrame, changed_pages: DataFrame,
+                symbol_len_limit: int = 3):
+    """→ (mentions_new, stats_new, related_new, affected_pages).
+
+    ``changed_pages`` carries new/updated page rows (url, content,
+    source); a page deletion is a changed page with empty content."""
+    changed_urls = changed_pages.select("url").distinct()
+    new_m = tm.mentions(changed_pages)
+    old_slice = mentions_old.join(changed_urls, "url", "left_semi")
+
+    mentions_new = (
+        mentions_old.join(changed_urls, "url", "left_anti").unionByName(new_m)
+    )
+    stats_new = update_name_stats(stats_old, old_slice, new_m, symbol_len_limit)
+
+    lf = F.length("name") > symbol_len_limit
+    affected_names = (
+        old_slice.filter(lf).select("name")
+        .unionByName(new_m.filter(lf).select("name"))
+        .distinct()
+    )
+    m_len = mentions_new.filter(lf)
+    affected_pages = (
+        m_len.join(affected_names, "name", "left_semi").select("url")
+        .unionByName(changed_urls)
+        .distinct()
+    )
+
+    # recompute slice: edges live on affected names only (both endpoints'
+    # keep-status and weights are a function of name-global state + the
+    # endpoint page's own mentions)
+    rel_m = _kept(m_len.join(affected_names, "name", "left_semi"), stats_new)
+    defs_e = rel_m.filter(F.col("kind") == "DEF")
+    refs_e = rel_m.filter(F.col("kind") == "REF")
+    edges = tm.edges(defs_e, refs_e)
+
+    # def_count(page) must count ALL kept defs of an affected page — the
+    # url-keyed slice, not the name-keyed one (an affected page may also
+    # define unaffected names)
+    defs_aff = _kept(
+        m_len.join(affected_pages, "url", "left_semi"), stats_new
+    ).filter(F.col("kind") == "DEF")
+
+    rel_slice = tm.related_pages(edges, defs_aff).join(
+        affected_pages.withColumnRenamed("url", "page"), "page", "left_semi"
+    )
+    related_new = (
+        related_old.join(
+            affected_pages.withColumnRenamed("url", "page"), "page", "left_anti"
+        ).unionByName(rel_slice)
+    )
+    return mentions_new, stats_new, related_new, affected_pages

@@ -969,6 +969,46 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
 FROM picked GROUP BY doc_id
 """
 
+ORACLES["ev_sessions"] = """
+WITH ev AS (
+  -- floor, not CAST: Spark's unix_timestamp truncates sub-second parts,
+  -- DuckDB CAST(DOUBLE AS BIGINT) rounds to nearest
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ep, value,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sessed AS (
+  SELECT user_id, ep, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sid AS BIGINT) AS session_idx,
+       CAST(MIN(ep) AS BIGINT) AS session_start_ep,
+       CAST(MAX(ep) AS BIGINT) AS session_end_ep,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sessed GROUP BY user_id, sid
+"""
+
+ORACLES["tq_source_curation"] = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*), 6) AS dup_rate,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       ROUND(AVG(CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE)), 6) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
 ORACLES["tq_fingerprint"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(('0x' || substring(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint

@@ -849,6 +849,63 @@ def tq_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def ev_sessions(spark, sf_dir):
+    """Batch twin of streaming/sessions.py (same strict > gap rule,
+    gap = 1800 s): gap-based sessionization as pure window algebra —
+    lag → new-session flag → running flag sum = session index → rollup.
+    Oracle-verified, so the sessionization semantics the streaming
+    operator implements in Python state are value-checked here in SQL.
+    One hash partitioning on user_id feeds both windows and the final
+    aggregation — a single exchange end to end."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | ((F.col("ep") - F.lag("ep").over(w)) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return flagged.groupBy("user_id", "sid").agg(
+        F.min("ep").cast("long").alias("session_start_ep"),
+        F.max("ep").cast("long").alias("session_end_ep"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("sid").cast("long").alias("session_idx"),
+        "session_start_ep", "session_end_ep", "n_events", "sum_value",
+    )
+
+
+def tq_source_curation(spark, sf_dir):
+    """Per-source corpus-curation rollup — the dashboard a training-data
+    pipeline reads before sampling: volume, language spread, exact-dup
+    rate (md5 content identity), size and token means. One map-side
+    partial agg per source; no joins, no windows — scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    per_doc = d.select(
+        "source", "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(ws).cast("double").alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+        F.round((F.count("*") - F.countDistinct("h")) / F.count("*"), 6).alias("dup_rate"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
 def tq_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
