@@ -85,6 +85,7 @@ _QUERY_NAMES = [
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_search",
+    "mm_image_dims",
     # rows-only (no SQL-expressible oracle; driver records the weaker check)
     "mm_decode_stub",
     "kg_build_related",

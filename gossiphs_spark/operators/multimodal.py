@@ -1,12 +1,18 @@
 """Multimodal column handling — binary payloads with typed metadata.
 
 Image/audio/video are opaque ``binary`` columns processed by Arrow-batched
-``mapInPandas`` kernels, exactly like the text-extraction kernel (U1). The
-actual codec libraries are not in this container, so the decode step is a
-deterministic STUB (md5-derived fake dimensions) behind ``_decode_image``;
-the Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is real and tested. Swap ``_decode_image`` for PIL/ffmpeg on a real
-cluster without touching the plan.
+``mapInPandas`` kernels, exactly like the text-extraction kernel (U1).
+
+Decode is REAL for the header-parsable part: PNG/GIF/JPEG/BMP container
+headers carry dimensions in plain bytes, so ``_parse_image_header``
+extracts (format, width, height) with no codec library at all — that is
+the metadata a curation pipeline filters on (drop tiny images, bucket by
+aspect ratio) before any pixel work. Full pixel decode (resizing, real
+perceptual hashing, frame sampling) DOES need the codec libs absent from
+this container, so unrecognized payloads fall back to a deterministic
+md5-derived STUB and ``phash`` is a content hash stand-in, documented as
+such. Swap the fallback for PIL/ffmpeg on a real cluster without touching
+the plan.
 """
 
 from __future__ import annotations
@@ -23,20 +29,59 @@ DECODED_SCHEMA = (
     "phash long"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_image_header(p: bytes):
+    """Real container-header parse → (format, width, height) or None.
+
+    PNG: IHDR is always the first chunk — width/height BE u32 at 16/20.
+    GIF: logical screen w/h LE u16 at 6/8.  BMP: i32 LE at 18/22.
+    JPEG: scan markers for a SOFn (C0-C3, C5-C7, C9-CB, CD-CF) segment;
+    height BE u16 at +5, width at +7 inside it.
+    """
+    if p[:8] == _PNG_SIG and len(p) >= 24 and p[12:16] == b"IHDR":
+        return ("png", int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"))
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        return ("gif", int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"))
+    if p[:2] == b"BM" and len(p) >= 26:
+        return ("bmp", int.from_bytes(p[18:22], "little", signed=True),
+                abs(int.from_bytes(p[22:26], "little", signed=True)))
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return ("jpeg", int.from_bytes(p[i + 7:i + 9], "big"),
+                        int.from_bytes(p[i + 5:i + 7], "big"))
+            i += 2 + seg_len
+    return None
+
 
 def _decode_image(payload: bytes) -> dict:
-    """STUB decode: deterministic pseudo-metadata from the payload hash.
-
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
-    raise NotImplementedError there if the codec is unavailable. The fake
-    is deterministic so tests pin the plumbing end-to-end.
-    """
+    """Header-real decode with a deterministic stub fallback (see module
+    docstring). ``phash`` is always the md5 content hash — a dedup
+    fingerprint, not a perceptual hash (needs pixel decode)."""
     if payload is None or len(payload) == 0:
         return {"n_bytes": 0, "format": "empty", "width": 0, "height": 0, "phash": 0}
+    payload = bytes(payload)
     h = hashlib.md5(payload).digest()
+    parsed = _parse_image_header(payload)
+    if parsed is not None:
+        fmt, w, ht = parsed
+        return {"n_bytes": len(payload), "format": fmt, "width": w,
+                "height": ht, "phash": int.from_bytes(h[3:11], "big", signed=True)}
     return {
         "n_bytes": len(payload),
-        "format": ["jpeg", "png", "webp", "gif"][h[0] % 4],
+        "format": "unknown",
         "width": 64 + (h[1] % 64) * 16,
         "height": 64 + (h[2] % 64) * 16,
         "phash": int.from_bytes(h[3:11], "big", signed=True),

@@ -998,6 +998,15 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM sessed GROUP BY user_id, sid
 """
 
+ORACLES["mm_image_dims"] = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 10 END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+       CAST(doc_id % 240 + 16 AS BIGINT) AS width,
+       CAST((doc_id * 7) % 240 + 16 AS BIGINT) AS height
+FROM documents
+"""
+
 ORACLES["tq_source_curation"] = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

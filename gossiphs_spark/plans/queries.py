@@ -990,6 +990,41 @@ def _detach(spark, df):
     return spark.createDataFrame(rows, schema)
 
 
+def mm_image_dims(spark, sf_dir):
+    """Multimodal REAL decode path, oracle-verified: valid PNG (even
+    doc_id) / GIF (odd) container headers are byte-assembled from doc_id,
+    the mapInPandas kernel parses dimensions out of the raw bytes
+    (multimodal._parse_image_header — no codec libs needed for headers),
+    and the oracle derives the same dims arithmetically. The parser never
+    sees the construction — a parse bug flips the hash."""
+    from gossiphs_spark.operators.multimodal import decode_binary_column
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    w = (F.col("doc_id") % 240 + 16).cast("int")
+    h = ((F.col("doc_id") * 7) % 240 + 16).cast("int")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    le2 = lambda c: F.unhex(  # noqa: E731
+        F.concat(
+            F.substring(F.lpad(F.hex(c), 4, "0"), 3, 2),
+            F.substring(F.lpad(F.hex(c), 4, "0"), 1, 2),
+        )
+    )
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"), F.lit((13).to_bytes(4, "big")),
+        F.lit(b"IHDR"), be4(w), be4(h), F.lit(b"\x08\x06\x00\x00\x00"),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le2(w), le2(h))
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("payload"),
+    )
+    return decode_binary_column(payloads).select(
+        "url", "n_bytes", "format", "width", "height"
+    )
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs

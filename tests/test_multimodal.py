@@ -41,3 +41,47 @@ def test_decode_over_document_bytes(spark, sf_dir):
     out = decode_binary_column(binarized)
     assert out.count() == 50
     assert out.filter(F.col("n_bytes") <= 0).count() == 0
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00")
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+
+
+def _bmp(w, h):
+    return b"BM" + b"\x00" * 16 + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+
+
+def _jpeg(w, h):
+    # SOI + APP0 (len 4, empty) + SOF0 header
+    return (b"\xff\xd8" + b"\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03")
+
+
+@pytest.mark.smoke
+def test_real_header_parse(spark):
+    """PNG/GIF/BMP/JPEG dimensions come from REAL byte parsing (no codec
+    libs needed for container headers); non-image payloads fall back to
+    the documented stub with format 'unknown'."""
+    df = spark.createDataFrame(
+        [
+            ("png", _png(640, 480)),
+            ("gif", _gif(320, 200)),
+            ("bmp", _bmp(800, 600)),
+            ("jpeg", _jpeg(1024, 768)),
+            ("txt", b"just some text bytes"),
+        ],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in decode_binary_column(df).collect()}
+    assert (rows["png"]["format"], rows["png"]["width"], rows["png"]["height"]) == ("png", 640, 480)
+    assert (rows["gif"]["format"], rows["gif"]["width"], rows["gif"]["height"]) == ("gif", 320, 200)
+    assert (rows["bmp"]["format"], rows["bmp"]["width"], rows["bmp"]["height"]) == ("bmp", 800, 600)
+    assert (rows["jpeg"]["format"], rows["jpeg"]["width"], rows["jpeg"]["height"]) == ("jpeg", 1024, 768)
+    assert rows["txt"]["format"] == "unknown"
