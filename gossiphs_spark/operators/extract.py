@@ -266,11 +266,75 @@ def extract_page_txt(url: str, blob: bytes) -> list[tuple]:
     return out
 
 
+# --------------------------------------------------------------------------
+# JSON profile — fourth grammar behind the F1 dispatch (API responses and
+# JSON-LD are a real slice of any web corpus). Regex-scanned, not
+# json.loads: the parse must keep byte offsets for every mention (the
+# per-row identity anchor) and must not throw on the malformed JSON the
+# crawl will contain.
+#   "title"|"name"|"@id": "v" (first)  → DEF  (the object's entity)
+#   string values matching https?://   → IMPORT
+#   object keys                        → NAMESPACE (structural names,
+#                                        excluded from the REF scan)
+#   Capitalized tokens in other string VALUES → REF
+# --------------------------------------------------------------------------
+_JSON_KEY_RE = re.compile(r'"([A-Za-z_@][A-Za-z0-9_@.-]*)"\s*:')
+_JSON_PAIR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"')
+_JSON_DEF_KEYS = ("title", "name", "@id")
+
+
+def extract_page_json(url: str, blob: bytes) -> list[tuple]:
+    """One JSON page → mention rows. Pure; same output contract as the
+    html/markdown/text profiles."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+
+    for km in _JSON_KEY_RE.finditer(s):
+        r0, c0 = _row_col(s, km.start(1))
+        r1, c1 = _row_col(s, km.end(1))
+        out.append((url, km.group(1), "NAMESPACE",
+                    km.start(1), km.end(1), r0, c0, r1, c1))
+
+    def_span = None
+    covered_spans: list[tuple[int, int]] = []
+    ref_values: list[tuple[int, str]] = []
+    for pm in _JSON_PAIR_RE.finditer(s):
+        key, val = pm.group(1), pm.group(2)
+        a, b = pm.span(2)
+        if def_span is None and key in _JSON_DEF_KEYS and val.strip():
+            name = val.strip()
+            def_span = (a, b)
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, name, "DEF", a, b, r0, c0, r1, c1))
+        elif val.startswith(("http://", "https://")):
+            target = val.rstrip(".,;:")  # F12 trailing-punct trim
+            covered_spans.append((a, b))
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, a + len(target))
+            out.append((url, target, "IMPORT", a, a + len(target), r0, c0, r1, c1))
+        else:
+            ref_values.append((a, val))
+
+    for base, val in ref_values:
+        for em in _ENTITY_RE.finditer(val):
+            a, b = base + em.start(), base + em.end()
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, em.group(0), "REF", a, b, r0, c0, r1, c1))
+    return out
+
+
 _PROFILES = {
     "md": extract_page_md,
     "markdown": extract_page_md,
     "txt": extract_page_txt,
     "text": extract_page_txt,
+    "json": extract_page_json,
+    "jsonld": extract_page_json,
 }
 
 
@@ -282,9 +346,10 @@ def profile_of(url: str, blob: bytes | None = None):
     path-based dispatch.
 
     Extensionless urls (the common-crawl norm) sniff the content when the
-    blob is available: a leading '<' means markup (html profile), anything
-    else gets the plain-text grammar. The sniff is a pure function of the
-    first 256 bytes — deterministic per (url, blob)."""
+    blob is available: a leading '<' means markup (html profile), '{' or
+    '[' means JSON, anything else gets the plain-text grammar. The sniff
+    is a pure function of the first 256 bytes — deterministic per
+    (url, blob)."""
     tail = url.split("?", 1)[0].split("#", 1)[0].rsplit("/", 1)[-1]
     ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
     if ext:
@@ -294,7 +359,11 @@ def profile_of(url: str, blob: bytes | None = None):
             head = blob[:256].decode("utf-8", "ignore").lstrip()
         except AttributeError:
             head = ""
-        return extract_page if head.startswith("<") else extract_page_txt
+        if head.startswith("<"):
+            return extract_page
+        if head.startswith(("{", "[")):
+            return extract_page_json
+        return extract_page_txt
     return extract_page
 
 

@@ -162,9 +162,10 @@ mixrefs AS (
   GROUP BY doc_id
 )
 SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) ||
-         CASE WHEN d.doc_id % 3 = 0 THEN '/page.html'
-              WHEN d.doc_id % 3 = 1 THEN '/page.md'
-              ELSE '/page' END AS url,
+         CASE WHEN d.doc_id % 4 = 0 THEN '/page.html'
+              WHEN d.doc_id % 4 = 1 THEN '/page.md'
+              WHEN d.doc_id % 4 = 2 THEN '/page'
+              ELSE '/page.json' END AS url,
        CAST(1 AS BIGINT) AS n_defs,
        CAST(COALESCE(r.n_refs, 0) AS BIGINT) AS n_refs,
        CAST(1 AS BIGINT) AS n_imports,

@@ -109,11 +109,12 @@ def u1_md_mentions(spark, sf_dir):
 
 
 def u1_mixed_profiles(spark, sf_dir):
-    """Three grammars through ONE extraction run (F1 dispatch): documents
-    render to html (doc_id%3==0), markdown (%3==1), or plain text with an
-    EXTENSIONLESS url (%3==2 — exercising the content sniff), all with the
-    same deterministic body; the per-page kind counts are profile-invariant
-    by construction, so the oracle recomputes them once."""
+    """Four grammars through ONE extraction run (F1 dispatch): documents
+    render to html (doc_id%4==0), markdown (%4==1), plain text with an
+    EXTENSIONLESS url (%4==2 — exercising the content sniff), or JSON
+    (%4==3), all with the same deterministic body; the per-page kind
+    counts are profile-invariant by construction, so the oracle
+    recomputes them once."""
     from gossiphs_spark.operators.extract import extract_mentions
 
     d = load_table(spark, sf_dir, "documents")
@@ -125,11 +126,12 @@ def u1_mixed_profiles(spark, sf_dir):
     body = F.array_join(toks, " ")
     did = F.col("doc_id").cast("string")
     nid = ((F.col("doc_id") + 1) % n).cast("string")
-    mode = F.col("doc_id") % 3
+    mode = F.col("doc_id") % 4
     url = (
         F.when(mode == 0, F.concat(F.lit("doc://"), did, F.lit("/page.html")))
         .when(mode == 1, F.concat(F.lit("doc://"), did, F.lit("/page.md")))
-        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/page")))
+        .when(mode == 2, F.concat(F.lit("doc://"), did, F.lit("/page")))
+        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/page.json")))
     )
     content = (
         F.when(mode == 0, F.concat(
@@ -140,9 +142,13 @@ def u1_mixed_profiles(spark, sf_dir):
             F.lit("# Doc"), did, F.lit("\n"), body,
             F.lit("\n[more](doc://"), nid, F.lit("/page.md)"),
         ))
-        .otherwise(F.concat(
+        .when(mode == 2, F.concat(
             F.lit("Doc"), did, F.lit("\n"), body,
             F.lit("\nsee https://ex.com/"), nid,
+        ))
+        .otherwise(F.concat(
+            F.lit('{"title": "Doc'), did, F.lit('", "body": "'), body,
+            F.lit('", "link": "https://ex.com/'), nid, F.lit('"}'),
         ))
     )
     pages = d.select(url.alias("url"), F.encode(content, "utf-8").alias("html"))

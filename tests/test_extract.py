@@ -173,3 +173,48 @@ def test_profile_dispatch_three_grammars():
     assert profile_of("https://h/page", TXT_GOLDEN) is extract_page_txt
     # extensionless without a blob keeps the historical html default
     assert profile_of("https://h/page") is extract_page
+
+
+JSON_GOLDEN = (
+    b'{"title": "Quasar Atlas", "body": "the Magnetar near Sol.Quasar flared",'
+    b' "link": "https://example.org/atlas.json", "count": 42,'
+    b' "meta": {"name": "ignored Second", "tags": "Final"}}'
+)
+
+
+def test_json_profile_golden():
+    from gossiphs_spark.operators.extract import extract_page_json
+
+    rows = extract_page_json("doc://9/data.json", JSON_GOLDEN)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r)
+    # first title|name|@id pair is the entity; the nested "name" later
+    # does NOT produce a second DEF
+    assert [r[1] for r in by_kind["DEF"]] == ["Quasar Atlas"]
+    assert [r[1] for r in by_kind["IMPORT"]] == ["https://example.org/atlas.json"]
+    # keys are structural NAMESPACE mentions, never REFs
+    assert sorted(r[1] for r in by_kind["NAMESPACE"]) == [
+        "body", "count", "link", "meta", "name", "tags", "title"
+    ]
+    # capitalized tokens inside non-DEF/IMPORT string VALUES only
+    assert sorted(r[1] for r in by_kind["REF"]) == [
+        "Final", "Magnetar", "Second", "Sol.Quasar"
+    ]
+    s = JSON_GOLDEN.decode()
+    for r in rows:
+        assert s[r[3]:r[4]] == r[1]  # offsets anchor source bytes exactly
+    assert extract_page_json("u", JSON_GOLDEN) == extract_page_json("u", JSON_GOLDEN)
+
+
+def test_json_profile_dispatch_and_sniff():
+    from gossiphs_spark.operators.extract import extract_page_json, profile_of
+
+    assert profile_of("a/b.json") is extract_page_json
+    assert profile_of("a/b.jsonld?v=1") is extract_page_json
+    assert profile_of("https://h/api", JSON_GOLDEN) is extract_page_json
+    assert profile_of("https://h/api", b'  [1, 2, 3]') is extract_page_json
+    # malformed JSON must not throw — regex scan degrades gracefully
+    assert extract_page_json("u", b'{"title": "Ok", broken') == [
+        r for r in extract_page_json("u", b'{"title": "Ok", broken')
+    ]
