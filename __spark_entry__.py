@@ -89,6 +89,7 @@ _QUERY_NAMES = [
     # rows-only (no SQL-expressible oracle; driver records the weaker check)
     "mm_decode_stub",
     "kg_build_related",
+    "kg_delta_related",
     "kg_triples_canonical",
 ]
 

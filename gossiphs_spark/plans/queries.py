@@ -1045,6 +1045,40 @@ def mm_decode_stub(spark, sf_dir):
     return decode_binary_column(binarized)
 
 
+def kg_delta_related(spark, sf_dir):
+    """Incremental maintenance end-to-end (operators/incremental.py):
+    300 pages in 30 ten-page vocabulary islands; a 5-page delta touches
+    two islands, so ~20 pages recompute and 280 splice through untouched.
+    Rows-only (iterative state splice); equality with a full rebuild is
+    pinned in tests/test_incremental.py."""
+    from gossiphs_spark.operators.incremental import apply_delta, name_stats
+
+    g = (F.col("id") / 10).cast("long")
+    mk = lambda suf: F.concat(F.lit("ent"), g.cast("string"), F.lit(suf))  # noqa: E731
+    pages = spark.range(300).select(
+        F.concat(F.lit("doc://"), F.col("id").cast("string")).alias("url"),
+        F.concat_ws(
+            " ", mk("_alpha"), mk("_beta"), mk("_alpha"), mk("_gamma"),
+            F.concat(F.lit("page"), F.col("id").cast("string"), F.lit("_title")),
+        ).alias("content"),
+        F.lit("s").alias("source"),
+    )
+    m1 = tm.mentions(pages)
+    fp = tm.filter_pointless(m1, 3)
+    rel1 = tm.related_pages(
+        tm.edges(fp.filter(F.col("kind") == "DEF"), fp.filter(F.col("kind") == "REF")),
+        fp.filter(F.col("kind") == "DEF"),
+    )
+    # delta: 5 pages of island 0 now also mention island 1's names
+    changed = pages.filter(_doc_num(F.col("url")) < 5).select(
+        "url",
+        F.concat(F.col("content"), F.lit(" ent1_alpha ent1_beta")).alias("content"),
+        "source",
+    )
+    _, _, related_new, affected = apply_delta(m1, name_stats(m1), rel1, changed)
+    return related_new
+
+
 def kg_build_related(spark, sf_dir):
     """North-star scored pipeline end-to-end on the deterministic synthetic
     corpus: extraction → linking → IDF×Jaccard scoring → entropy/knee
