@@ -54,10 +54,16 @@ def _build(spark, args):
     g = build_graph(spark, pages, evidence, _cfg_of(args))
     if args.max_def_ratio < 1.0:
         # hub damping diverges from reference defaults (it declares the
-        # knob, never applies it) — surface the divergence per run
+        # knob, never applies it) — surface the divergence per run.
+        # Counting the stoplist forces an extra aggregation job over the
+        # defs table, so the count itself is opt-in (--log-damped);
+        # g.damped stays inspectable either way.
+        detail = (
+            f": {g.damped.count()} name(s) damped" if args.log_damped else ""
+        )
         print(
-            f"hub damping active (max_def_ratio={args.max_def_ratio}): "
-            f"{g.damped.count()} name(s) damped",
+            f"hub damping active (max_def_ratio={args.max_def_ratio})"
+            f"{detail}",
             file=sys.stderr,
         )
     return g
@@ -130,6 +136,8 @@ def main(argv=None):
     p.add_argument("--file-min-links", type=int, default=0)
     p.add_argument("--file-max-links", type=int, default=0)
     p.add_argument("--max-def-ratio", type=float, default=0.1)
+    p.add_argument("--log-damped", action="store_true",
+                   help="count the damped-name stoplist (one extra job)")
     p.add_argument("--exclude-url-regex", default="")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -226,6 +226,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         .cache()
     )
     n = nodes.count()  # one scalar anchor (same pattern as decay/IDF)
+    if n == 0:
+        # empty graph (e.g. a probe filter matched nothing) → empty
+        # result with the input's node type, not a ZeroDivisionError
+        out = nodes.limit(0).withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        return out
     outw = edges.groupBy(src).agg(F.sum(weight).alias("_out_w"))
     share = (
         edges.join(outw, src)

@@ -17,7 +17,11 @@ them with joins whose size is bounded by the delta, not the corpus:
     name and an unchanged def_count, so its related rows are unchanged
     (proof sketch: every edge names a DEF on its dst and a REF on its
     src; if either endpoint's mention set changed, the edge's name is on
-    a changed page and therefore affected).
+    a changed page and therefore affected);
+  recompute slice = mentions keyed by the names CARRIED BY affected
+    pages (a superset of the affected names) — an affected page rebuilds
+    ALL its related rows, including those through names the delta never
+    touched, so the slice must carry its untouched-name edges too.
 
 The F7 keep decisions need GLOBAL name existence — that is exactly what
 the maintained per-name stats table provides, so the keep-filter of the
@@ -118,10 +122,17 @@ def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
         .distinct()
     )
 
-    # recompute slice: edges live on affected names only (both endpoints'
-    # keep-status and weights are a function of name-global state + the
-    # endpoint page's own mentions)
-    rel_m = _kept(m_len.join(affected_names, "name", "left_semi"), stats_new)
+    # recompute slice: affected pages rebuild their related rows from
+    # scratch, so the slice needs every edge INCIDENT to an affected page
+    # — including edges through names the delta never touched (an
+    # affected page usually also carries unaffected names). Key the slice
+    # by the names CARRIED BY affected pages, not by the delta's names:
+    # keying by affected_names alone drops those untouched-name edges and
+    # silently loses related rows (caught by live repro in review).
+    relevant_names = (
+        m_len.join(affected_pages, "url", "left_semi").select("name").distinct()
+    )
+    rel_m = _kept(m_len.join(relevant_names, "name", "left_semi"), stats_new)
     defs_e = rel_m.filter(F.col("kind") == "DEF")
     refs_e = rel_m.filter(F.col("kind") == "REF")
     edges = tm.edges(defs_e, refs_e)

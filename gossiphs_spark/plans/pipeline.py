@@ -240,10 +240,18 @@ def build_graph(
     fm = filter_pointless_full(mentions, cfg.symbol_len_limit, bcast_ok)  # F6+F7
     fm = fm.select("url", "name", "kind", "start_byte")
     if cfg.stage_materialize:
+        import atexit
         import os
+        import shutil
         import tempfile
 
         scratch = tempfile.mkdtemp(prefix="gossiphs_stage_")
+        # the returned GraphTables read from these files for the life of
+        # the caller, so reclaim at process exit (review finding: without
+        # this every build leaked a corpus-scale parquet dir). In
+        # production the stage table is Iceberg via the TripleSink seam
+        # and snapshot expiry owns its lifecycle.
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
         fm_path = os.path.join(scratch, "fm")
         fm.write.mode("overwrite").parquet(fm_path)
         fm = spark.read.parquet(fm_path).cache()

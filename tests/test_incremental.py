@@ -92,3 +92,26 @@ def test_delta_keep_status_flips(spark):
         for r in name_stats(_full_rebuild(spark, V2)[0]).collect()
     }
     assert s == full_stats
+
+
+def test_delta_keeps_untouched_name_edges_of_affected_pages(spark):
+    """Regression (review-confirmed bug): doc://1 is affected only via
+    'gamma', but its related row to doc://2 flows through 'betaX' — a name
+    the delta never touches. The recompute slice must carry that edge or
+    the spliced result silently loses the row a full rebuild keeps."""
+    v1 = [
+        ("doc://1", "betaX gamma betaX", "s"),
+        ("doc://2", "betaX delta", "s"),
+        ("doc://3", "gamma gamma", "s"),
+    ]
+    changed = [("doc://9", "gamma zzeta", "s")]
+    v2 = v1 + changed
+
+    m1, rel1 = _full_rebuild(spark, v1)
+    ch = spark.createDataFrame(changed, PAGES_SCHEMA)
+    _, _, rel_new, _ = apply_delta(m1, name_stats(m1), rel1, ch)
+    _, rel_full = _full_rebuild(spark, v2)
+    assert _rel_set(rel_new) == _rel_set(rel_full)
+    assert ("doc://1", "doc://2", 1) in _rel_set(rel_new) or (
+        "doc://2", "doc://1", 1
+    ) in _rel_set(rel_new)
