@@ -85,6 +85,12 @@ def cmd_export(spark, args):
     from gossiphs_spark.operators.graphops import dense_export
 
     g = _build(spark, args)
+    if args.format == "neo4j":
+        from gossiphs_spark.operators.sinks import write_neo4j_bulk
+
+        write_neo4j_bulk(g.related, args.out)
+        print(json.dumps({"format": "neo4j", "out": args.out}))
+        return
     nodes, edges = dense_export(g.related)
     os.makedirs(args.out, exist_ok=True)
     if args.format == "jsonl":
@@ -147,7 +153,8 @@ def main(argv=None):
 
     s = sub.add_parser("export")
     s.add_argument("--out", required=True)
-    s.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+    s.add_argument("--format", choices=["jsonl", "parquet", "neo4j"],
+                   default="jsonl")
 
     s = sub.add_parser("matrix")
     s.add_argument("--out", required=True)

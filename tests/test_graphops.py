@@ -182,3 +182,26 @@ def test_pagerank_mass_bounded(spark):
     ranks = [r["rank"] for r in pagerank(edges, iters=5).collect()]
     assert all(r > 0 for r in ranks)
     assert 0.5 < sum(ranks) <= 1.0 + 1e-9
+
+
+def test_neo4j_bulk_export(spark, tmp_path):
+    """S9 analog: neo4j-admin bulk-import CSVs — header conventions and
+    node/edge closure (every endpoint appears exactly once as a node)."""
+    from gossiphs_spark.operators.sinks import write_neo4j_bulk
+
+    rel = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("a", "c", 2)],
+        "page string, other string, score long",
+    )
+    out = str(tmp_path / "neo")
+    write_neo4j_bulk(rel, out)
+
+    nodes = spark.read.option("header", True).csv(f"{out}/nodes")
+    rels = spark.read.option("header", True).csv(f"{out}/rels")
+    assert nodes.columns == ["url:ID", ":LABEL"]
+    assert rels.columns == [":START_ID", ":END_ID", "weight:long", ":TYPE"]
+    assert {r["url:ID"] for r in nodes.collect()} == {"a", "b", "c"}
+    assert nodes.count() == 3  # exactly once per endpoint
+    got = {(r[":START_ID"], r[":END_ID"], r["weight:long"]) for r in rels.collect()}
+    assert got == {("a", "b", "3"), ("b", "c", "1"), ("a", "c", "2")}
+    assert {r[":TYPE"] for r in rels.collect()} == {"RELATED"}
