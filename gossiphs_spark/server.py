@@ -1,0 +1,109 @@
+"""S8 — HTTP query server over the MATERIALIZED related table
+(ref src/server.rs: ``gossiphs server`` answers /file/relate over the
+in-memory graph).
+
+Spark is a batch engine, not a serving tier; the production shape is
+build-with-Spark → serve-from-the-materialized-table. This server is
+that shape in miniature: a stdlib ThreadingHTTPServer answering
+
+    GET /relate?url=<page>&top=<k>   → JSON rows (page, other, score)
+    GET /health                      → {"status": "ok", "rows": N}
+
+over the parquet the pipeline wrote (cli `relate`/`export` output),
+queried through DuckDB — no Spark session, no JVM, millisecond startup.
+Everything here is read-only; the table is immutable once written
+(lineage/commit semantics live in the build path, lineage.py).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import duckdb
+
+
+class RelatedServer:
+    """Serve a related-pages parquet directory (page, other, score)."""
+
+    def __init__(self, parquet_glob: str, host: str = "127.0.0.1",
+                 port: int = 0):
+        self._con = duckdb.connect()
+        # CREATE VIEW cannot be a prepared statement — escape the path
+        safe = parquet_glob.replace("'", "''")
+        self._con.execute(
+            f"CREATE VIEW related AS SELECT * FROM read_parquet('{safe}')"
+        )
+        self._lock = threading.Lock()  # duckdb connections are not MT-safe
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test runs
+                pass
+
+            def _reply(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/health":
+                    with outer._lock:
+                        n = outer._con.execute(
+                            "SELECT COUNT(*) FROM related").fetchone()[0]
+                    return self._reply(200, {"status": "ok", "rows": n})
+                if u.path == "/relate":
+                    q = parse_qs(u.query)
+                    url = (q.get("url") or [None])[0]
+                    if not url:
+                        return self._reply(400, {"error": "missing url param"})
+                    top = int((q.get("top") or ["10"])[0])
+                    with outer._lock:
+                        rows = outer._con.execute(
+                            "SELECT page, other, score FROM related "
+                            "WHERE page = ? ORDER BY score DESC, other "
+                            "LIMIT ?", [url, top],
+                        ).fetchall()
+                    return self._reply(200, [
+                        {"page": p, "other": o, "score": s} for p, o, s in rows
+                    ])
+                return self._reply(404, {"error": "unknown path"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "RelatedServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+
+def serve(parquet_glob: str, host: str = "127.0.0.1", port: int = 8421):
+    """Blocking entry point: ``python -m gossiphs_spark.server <glob>``."""
+    s = RelatedServer(parquet_glob, host, port)
+    print(json.dumps({"serving": parquet_glob, "port": s.port}))
+    try:
+        s._httpd.serve_forever()
+    except KeyboardInterrupt:
+        s.stop()
+
+
+if __name__ == "__main__":
+    import sys
+
+    serve(sys.argv[1], *(sys.argv[2:3] or ["127.0.0.1"]))
