@@ -115,3 +115,39 @@ def test_delta_keeps_untouched_name_edges_of_affected_pages(spark):
     assert ("doc://1", "doc://2", 1) in _rel_set(rel_new) or (
         "doc://2", "doc://1", 1
     ) in _rel_set(rel_new)
+
+
+# ---------------------------------------------------------------------------
+# Randomized equivalence: hypothesis builds arbitrary corpora and deltas
+# (rewrites, deletions, creations over a small shared vocabulary chosen to
+# maximize keep-status flips and island overlap); the spliced result must
+# ALWAYS equal a from-scratch rebuild. This is the guard for the class of
+# bug the review caught (slice keyed too narrowly).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "betaX", "gamma", "delta", "omega", "zzeta", "kappa"]
+_content = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join)
+
+
+@given(
+    v1=st.dictionaries(st.integers(0, 9), _content, min_size=1, max_size=8),
+    delta=st.dictionaries(st.integers(0, 11), _content, min_size=1, max_size=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_delta_always_equals_full_rebuild(spark, v1, delta):
+    rows1 = [(f"doc://{i}", c, "s") for i, c in sorted(v1.items())]
+    ch = [(f"doc://{i}", c, "s") for i, c in sorted(delta.items())]
+    v2 = {**v1, **delta}
+    rows2 = [(f"doc://{i}", c, "s") for i, c in sorted(v2.items()) if c]
+    if not rows2:
+        return
+
+    m1, rel1 = _full_rebuild(spark, rows1)
+    chdf = spark.createDataFrame(ch, PAGES_SCHEMA)
+    _, stats_new, rel_new, _ = apply_delta(m1, name_stats(m1), rel1, chdf)
+    m_full, rel_full = _full_rebuild(spark, rows2)
+    assert _rel_set(rel_new) == _rel_set(rel_full)
+    assert sorted(map(tuple, stats_new.collect())) == sorted(
+        map(tuple, name_stats(m_full).collect())
+    )
