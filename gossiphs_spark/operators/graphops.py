@@ -92,12 +92,18 @@ def dense_ids(urls: DataFrame, id_col: str = "id",
     )
 
 
-def dense_export(related: DataFrame) -> tuple[DataFrame, DataFrame]:
-    urls = (
-        related.select(F.col("page").alias("url"))
-        .union(related.select(F.col("other").alias("url")))
+def endpoints(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(…, src, dst, …) → (node): the distinct endpoint set — the node
+    derivation shared by dense_export, pagerank, and the Neo4j sink."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+
+
+def dense_export(related: DataFrame) -> tuple[DataFrame, DataFrame]:
+    urls = endpoints(related, "page", "other").withColumnRenamed("node", "url")
     nodes = dense_ids(urls).select("id", "url")
     src = nodes.select(F.col("url").alias("page"), F.col("id").alias("src"))
     dst = nodes.select(F.col("url").alias("other"), F.col("id").alias("dst"))
@@ -219,12 +225,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # finding). If `edges` itself is expensive AND huge, bound it before
     # calling (the contract query probe-bounds the link-dense subgraph;
     # caching cannot absorb a ~quadratic edge materialization).
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .cache()
-    )
+    nodes = endpoints(edges, src, dst).cache()
     n = nodes.count()  # one scalar anchor (same pattern as decay/IDF)
     if n == 0:
         # empty graph (e.g. a probe filter matched nothing) → empty

@@ -135,7 +135,19 @@ def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
     rel_m = _kept(m_len.join(relevant_names, "name", "left_semi"), stats_new)
     defs_e = rel_m.filter(F.col("kind") == "DEF")
     refs_e = rel_m.filter(F.col("kind") == "REF")
-    edges = tm.edges(defs_e, refs_e)
+    # keep only edges INCIDENT to an affected page before the rollup: a
+    # popular shared name also links unaffected-pair edges, whose rollup
+    # groups would be aggregated and then discarded by the final
+    # semi-join — pre-filtering bounds the aggregation by the delta
+    # (every surviving related row has an affected endpoint as `page`)
+    all_edges = tm.edges(defs_e, refs_e)
+    aff_src = affected_pages.withColumnRenamed("url", "src_url")
+    aff_dst = affected_pages.withColumnRenamed("url", "dst_url")
+    edges = (
+        all_edges.join(aff_src, "src_url", "left_semi")
+        .unionByName(all_edges.join(aff_dst, "dst_url", "left_semi"))
+        .dropDuplicates(["src_url", "dst_url", "name"])
+    )
 
     # def_count(page) must count ALL kept defs of an affected page — the
     # url-keyed slice, not the name-keyed one (an affected page may also

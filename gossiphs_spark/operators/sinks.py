@@ -8,6 +8,8 @@ one directory per page containing its markdown body.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -40,28 +42,28 @@ def write_markdown_vault(related: DataFrame, out_dir: str) -> None:
 # ---------------------------------------------------------------------------
 # S9 analog — Neo4j BULK-IMPORT export (ref examples write per-row over the
 # bolt driver, non-core; at 10^9+ edges the supported path is neo4j-admin
-# database import, which consumes CSVs with :ID/:START_ID/:END_ID/:TYPE
-# headers). Spark writes those CSVs distributed — header conventions per
-# the public neo4j-admin import format.
+# database import). Format details that matter to the actual consumer:
+#   * the header must appear EXACTLY ONCE — Spark's per-part headers would
+#     be ingested as data rows by every file after the first, so data
+#     parts are header-less and a one-line header file leads the list;
+#   * quote escaping is doubled-quote ("" inside a quoted field) —
+#     neo4j-admin's default — not Spark's default backslash style.
 # ---------------------------------------------------------------------------
 def write_neo4j_bulk(related: DataFrame, out_dir: str,
                      label: str = "Page", rel_type: str = "RELATED") -> None:
-    """related(page, other, score) → ``{out_dir}/nodes`` + ``{out_dir}/rels``
-    CSV directories loadable by::
+    """related(page, other, score) → header files + header-less CSV part
+    directories loadable by::
 
         neo4j-admin database import full \
-            --nodes=Page=nodes/part-*.csv --relationships=RELATED=rels/part-*.csv
+            --nodes=Page=nodes_header.csv,nodes/part-.* \
+            --relationships=RELATED=rels_header.csv,rels/part-.*
 
     Node ids are the page urls (strings are valid :ID values); the
     relationship weight rides along as a typed property column."""
-    nodes = (
-        related.select(F.col("page").alias("url"))
-        .unionByName(related.select(F.col("other").alias("url")))
-        .distinct()
-        .select(
-            F.col("url").alias("url:ID"),
-            F.lit(label).alias(":LABEL"),
-        )
+    from gossiphs_spark.operators.graphops import endpoints
+
+    nodes = endpoints(related, "page", "other").select(
+        F.col("node").alias("url:ID"), F.lit(label).alias(":LABEL")
     )
     rels = related.select(
         F.col("page").alias(":START_ID"),
@@ -69,5 +71,11 @@ def write_neo4j_bulk(related: DataFrame, out_dir: str,
         F.col("score").cast("long").alias("weight:long"),
         F.lit(rel_type).alias(":TYPE"),
     )
-    nodes.write.mode("overwrite").option("header", True).csv(f"{out_dir}/nodes")
-    rels.write.mode("overwrite").option("header", True).csv(f"{out_dir}/rels")
+    opts = {"header": "false", "escape": '"'}  # doubled-quote escaping
+    nodes.write.mode("overwrite").options(**opts).csv(f"{out_dir}/nodes")
+    rels.write.mode("overwrite").options(**opts).csv(f"{out_dir}/rels")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "nodes_header.csv"), "w") as f:
+        f.write("url:ID,:LABEL\n")
+    with open(os.path.join(out_dir, "rels_header.csv"), "w") as f:
+        f.write(":START_ID,:END_ID,weight:long,:TYPE\n")

@@ -51,6 +51,19 @@ class GraphTables:
     #                         declares max_def_ratio but never applies it);
     #                         exposing the stoplist makes the divergence
     #                         inspectable per run without forcing a job.
+    scratch_dir: str | None = None  # stage_materialize scratch this build
+    #                         reads from; atexit reclaims it, but a
+    #                         long-lived driver calling build_graph
+    #                         repeatedly should release() each result once
+    #                         done to bound disk (one corpus-scale dir per
+    #                         build otherwise).
+
+    def release(self) -> None:
+        """Drop this build's scratch stage (the tables become unreadable)."""
+        if self.scratch_dir:
+            import shutil
+
+            shutil.rmtree(self.scratch_dir, ignore_errors=True)
 
 
 def _maybe_broadcast(df: DataFrame, ok: bool) -> DataFrame:
@@ -239,6 +252,7 @@ def build_graph(
     #     is the same seam); the sandbox backend is a scratch dir.
     fm = filter_pointless_full(mentions, cfg.symbol_len_limit, bcast_ok)  # F6+F7
     fm = fm.select("url", "name", "kind", "start_byte")
+    scratch = None
     if cfg.stage_materialize:
         import atexit
         import os
@@ -489,6 +503,7 @@ def build_graph(
         related=related,
         triples=triples,
         damped=stoplist,
+        scratch_dir=scratch,
     )
 
 

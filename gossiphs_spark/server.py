@@ -63,7 +63,14 @@ class RelatedServer:
                     url = (q.get("url") or [None])[0]
                     if not url:
                         return self._reply(400, {"error": "missing url param"})
-                    top = int((q.get("top") or ["10"])[0])
+                    try:
+                        top = int((q.get("top") or ["10"])[0])
+                        if top < 0:
+                            raise ValueError
+                    except ValueError:
+                        return self._reply(
+                            400, {"error": "top must be a non-negative integer"}
+                        )
                     with outer._lock:
                         rows = outer._con.execute(
                             "SELECT page, other, score FROM related "
@@ -87,7 +94,10 @@ class RelatedServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        if self._thread is not None:
+            # shutdown() blocks on serve_forever's shut-down event, which
+            # never fires for a server that was never started — guard it
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=10)

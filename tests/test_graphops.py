@@ -196,10 +196,16 @@ def test_neo4j_bulk_export(spark, tmp_path):
     out = str(tmp_path / "neo")
     write_neo4j_bulk(rel, out)
 
-    nodes = spark.read.option("header", True).csv(f"{out}/nodes")
-    rels = spark.read.option("header", True).csv(f"{out}/rels")
-    assert nodes.columns == ["url:ID", ":LABEL"]
-    assert rels.columns == [":START_ID", ":END_ID", "weight:long", ":TYPE"]
+    # data parts are header-less (per-part headers would be ingested as
+    # rows by neo4j-admin); one-line header files lead the import list
+    nh = open(f"{out}/nodes_header.csv").read().strip()
+    rh = open(f"{out}/rels_header.csv").read().strip()
+    assert nh == "url:ID,:LABEL"
+    assert rh == ":START_ID,:END_ID,weight:long,:TYPE"
+    nodes = spark.read.schema("`url:ID` string, `:LABEL` string").csv(f"{out}/nodes")
+    rels = spark.read.schema(
+        "`:START_ID` string, `:END_ID` string, `weight:long` string, `:TYPE` string"
+    ).csv(f"{out}/rels")
     assert {r["url:ID"] for r in nodes.collect()} == {"a", "b", "c"}
     assert nodes.count() == 3  # exactly once per endpoint
     got = {(r[":START_ID"], r[":END_ID"], r["weight:long"]) for r in rels.collect()}

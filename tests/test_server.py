@@ -35,10 +35,21 @@ def test_server_relate_over_materialized_table(spark, tmp_path):
         code, rows = _get(srv.port, "/relate?url=zzz")
         assert code == 200 and rows == []
 
-        try:
-            _get(srv.port, "/relate")
-            assert False, "missing url must 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        for bad in ("/relate", "/relate?url=a&top=abc", "/relate?url=a&top=-1"):
+            try:
+                _get(srv.port, bad)
+                assert False, f"{bad} must 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_server_stop_before_start_does_not_hang(spark, tmp_path):
+    from gossiphs_spark.server import RelatedServer
+
+    rel = spark.createDataFrame([("a", "b", 1)], "page string, other string, score long")
+    out = str(tmp_path / "rel2")
+    rel.write.parquet(out)
+    srv = RelatedServer(f"{out}/*.parquet")
+    srv.stop()  # never started — must return, not deadlock
