@@ -129,3 +129,13 @@ def test_idf_map_broadcasts(spark):
     50s → 3s rewrite)."""
     plan = plan_of(Q.j1_candidate_counts(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_sessionization_single_exchange(spark):
+    """ev_sessions claims one hash partitioning on user_id feeds both
+    windows AND the rollup (HashPartitioning(user_id) satisfies
+    ClusteredDistribution(user_id, sid)) — pin that no second exchange
+    appears."""
+    plan = plan_of(Q.ev_sessions(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(user_id" in plan
