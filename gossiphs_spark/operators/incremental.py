@@ -143,10 +143,11 @@ def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
     all_edges = tm.edges(defs_e, refs_e)
     aff_src = affected_pages.withColumnRenamed("url", "src_url")
     aff_dst = affected_pages.withColumnRenamed("url", "dst_url")
-    edges = (
-        all_edges.join(aff_src, "src_url", "left_semi")
-        .unionByName(all_edges.join(aff_dst, "dst_url", "left_semi"))
-        .dropDuplicates(["src_url", "dst_url", "name"])
+    # disjoint branches (src-affected ∪ dst-affected-but-src-not) cover
+    # every incident edge exactly once — no dedup shuffle needed
+    edges = all_edges.join(aff_src, "src_url", "left_semi").unionByName(
+        all_edges.join(aff_dst, "dst_url", "left_semi")
+        .join(aff_src, "src_url", "left_anti")
     )
 
     # def_count(page) must count ALL kept defs of an affected page — the

@@ -8,8 +8,6 @@ one directory per page containing its markdown body.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -55,8 +53,8 @@ def write_neo4j_bulk(related: DataFrame, out_dir: str,
     directories loadable by::
 
         neo4j-admin database import full \
-            --nodes=Page=nodes_header.csv,nodes/part-.* \
-            --relationships=RELATED=rels_header.csv,rels/part-.*
+            --nodes=Page=nodes_header/part-.*,nodes/part-.* \
+            --relationships=RELATED=rels_header/part-.*,rels/part-.*
 
     Node ids are the page urls (strings are valid :ID values); the
     relationship weight rides along as a typed property column."""
@@ -74,8 +72,15 @@ def write_neo4j_bulk(related: DataFrame, out_dir: str,
     opts = {"header": "false", "escape": '"'}  # doubled-quote escaping
     nodes.write.mode("overwrite").options(**opts).csv(f"{out_dir}/nodes")
     rels.write.mode("overwrite").options(**opts).csv(f"{out_dir}/rels")
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "nodes_header.csv"), "w") as f:
-        f.write("url:ID,:LABEL\n")
-    with open(os.path.join(out_dir, "rels_header.csv"), "w") as f:
-        f.write(":START_ID,:END_ID,weight:long,:TYPE\n")
+    # header files go through the SAME writer so the whole export lands on
+    # one filesystem (driver-local open() would strand them off-cluster
+    # for an hdfs://… out_dir); neo4j-admin accepts a glob per file slot
+    spark = related.sparkSession
+    for name, header in (
+        ("nodes_header", "url:ID,:LABEL"),
+        ("rels_header", ":START_ID,:END_ID,weight:long,:TYPE"),
+    ):
+        (
+            spark.createDataFrame([(header,)], "v string").coalesce(1)
+            .write.mode("overwrite").text(f"{out_dir}/{name}")
+        )

@@ -67,6 +67,9 @@ class RelatedServer:
                         top = int((q.get("top") or ["10"])[0])
                         if top < 0:
                             raise ValueError
+                        # clamp: values past int64 would error inside
+                        # DuckDB's LIMIT binding, dropping the connection
+                        top = min(top, 1_000_000)
                     except ValueError:
                         return self._reply(
                             400, {"error": "top must be a non-negative integer"}

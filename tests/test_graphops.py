@@ -198,8 +198,9 @@ def test_neo4j_bulk_export(spark, tmp_path):
 
     # data parts are header-less (per-part headers would be ingested as
     # rows by neo4j-admin); one-line header files lead the import list
-    nh = open(f"{out}/nodes_header.csv").read().strip()
-    rh = open(f"{out}/rels_header.csv").read().strip()
+    import glob
+    nh = open(glob.glob(f"{out}/nodes_header/part-*")[0]).read().strip()
+    rh = open(glob.glob(f"{out}/rels_header/part-*")[0]).read().strip()
     assert nh == "url:ID,:LABEL"
     assert rh == ":START_ID,:END_ID,weight:long,:TYPE"
     nodes = spark.read.schema("`url:ID` string, `:LABEL` string").csv(f"{out}/nodes")

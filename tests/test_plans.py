@@ -137,5 +137,7 @@ def test_sessionization_single_exchange(spark):
     ClusteredDistribution(user_id, sid)) — pin that no second exchange
     appears."""
     plan = plan_of(Q.ev_sessions(spark, SF_DIR))
-    assert plan.count("Exchange") == 1
+    # count shuffle exchanges specifically — BroadcastExchange /
+    # ReusedExchange nodes would false-fail a bare "Exchange" count
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange hashpartitioning(user_id" in plan
