@@ -141,7 +141,9 @@ def main(argv=None):
     p.add_argument("--def-limit", type=int, default=12)
     p.add_argument("--file-min-links", type=int, default=0)
     p.add_argument("--file-max-links", type=int, default=0)
-    p.add_argument("--max-def-ratio", type=float, default=0.1)
+    p.add_argument("--max-def-ratio", type=float, default=1.0,
+                   help="hub-damping ratio; 1.0 = off (reference parity), "
+                        "~0.1 recommended at web scale")
     p.add_argument("--log-damped", action="store_true",
                    help="count the damped-name stoplist (one extra job)")
     p.add_argument("--exclude-url-regex", default="")

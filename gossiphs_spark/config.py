@@ -20,10 +20,12 @@ class PipelineConfig:
     file_max_links: int = 0        # related-files cap              (graph.rs:951)
     min_score: float = 0.01        # drop non-physical candidates below (graph.rs:957)
     # hub-entity damping ratio (graph.rs:916-918). The reference DECLARES
-    # this knob but never applies it; we wire it (SURVEY §4 O8 — at 10^12
-    # docs an undamped hot name explodes the candidate join). Set 1.0 for
-    # strict output parity with the reference on hub-heavy corpora.
-    max_def_ratio: float = 0.1
+    # this knob but never applies it (graph.rs never reads it), so the
+    # parity DEFAULT is 1.0 = damping off — default outputs match the
+    # reference on hub-heavy corpora. At web scale set ~0.1 (SURVEY §4 O8:
+    # an undamped name defined in 10% of 10^12 pages explodes the
+    # candidate join); the CLI logs when damping is active.
+    max_def_ratio: float = 1.0
 
     # --- extraction hygiene (ref graph.rs:954-959) ---
     symbol_limit: int = 4096       # drop whole page if more mentions (graph.rs:958)
@@ -41,6 +43,21 @@ class PipelineConfig:
     # ~14 s → ~5 s at sf0.1) and is the pipeline's natural checkpoint
     # boundary at scale (an Iceberg stage table on a cluster)
     stage_materialize: bool = True
+    # where stage_materialize writes. Empty = a driver-local tempdir,
+    # which is only correct when spark.master is local (on yarn/k8s the
+    # executors would write parts to THEIR local disks and the driver's
+    # read-back would be silently truncated) — on a non-local master with
+    # no URI configured the pipeline falls back to fm.cache(). On a
+    # cluster set this to a shared scratch location (s3://…, hdfs://…);
+    # its lifecycle (snapshot expiry / TTL) then owns cleanup.
+    stage_scratch_uri: str = ""
+    # n_pages source: False (default) counts distinct urls over the
+    # extracted mentions — one stats pass, no second corpus scan — which
+    # undercounts vs the reference when pages yield zero mentions
+    # (non-UTF-8 blobs, empty bodies; common in real crawls) and thereby
+    # shrinks the IDF / hub-stoplist / evidence-size-limit denominators.
+    # True pays a second scan of `pages` for the reference's exact count.
+    count_all_pages: bool = False
     shuffle_partitions: int = 32
     salt_buckets: int = 16         # two-phase salted agg for hot keys
     arrow_max_records_per_batch: int = 2048  # large html blobs per Arrow batch

@@ -138,6 +138,18 @@ def cutoff_search(
         .withColumn("src_coverage", F.col("n_src") / F.lit(float(n_src_total)))
     )
 
+    # the reported cutoff keeps the INPUT score dtype: a long cast on a
+    # double-scored link set would silently truncate the value the search
+    # actually selected (integral inputs cast long for oracle parity)
+    from pyspark.sql.types import IntegralType
+
+    integral_scores = isinstance(
+        labeled_links.schema["score"].dataType, IntegralType
+    )
+    cutoff_out = (
+        F.col("cutoff").cast("long") if integral_scores else F.col("cutoff")
+    )
+
     tg = spark.createDataFrame([(float(t),) for t in targets], "target double")
     per_target = stats.crossJoin(F.broadcast(tg)).withColumns({
         "meets": (
@@ -158,7 +170,7 @@ def cutoff_search(
         .filter(F.col("_rn") == 1)
         .select(
             "target",
-            F.col("cutoff").cast("long").alias("cutoff"),
+            cutoff_out.alias("cutoff"),
             F.col("total").cast("long").alias("total"),
             "confirmed", "true_bonus", "phantom",
             F.round("hr", 6).alias("hr"),

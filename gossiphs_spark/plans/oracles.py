@@ -276,7 +276,9 @@ links AS (
 ),
 fullstats AS (
   SELECT COUNT(*) AS total_links, COUNT(DISTINCT src) AS n_src_total,
-         GREATEST(50, CAST(COUNT(*) * 0.01 AS BIGINT)) AS min_kept
+         -- FLOOR mirrors Python int() truncation (evalx min_kept_links);
+         -- a bare CAST rounds half-away-from-zero in DuckDB
+         GREATEST(50, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS min_kept
   FROM links
 ),
 items AS (SELECT * FROM links ORDER BY score DESC, src ASC, dst ASC LIMIT 2000),

@@ -46,10 +46,11 @@ class GraphTables:
     edges: DataFrame        # page-level (src_url, dst_url, weight)
     related: DataFrame      # related-pages rollup (page, other, score)
     triples: DataFrame      # (subj, pred, obj, url, start_byte)
-    damped: DataFrame       # hub stoplist actually applied (name) — damping
-    #                         diverges from reference defaults (the reference
-    #                         declares max_def_ratio but never applies it);
-    #                         exposing the stoplist makes the divergence
+    damped: DataFrame       # hub stoplist actually applied (name). Default
+    #                         max_def_ratio=1.0 → empty (reference parity:
+    #                         it declares the knob, never applies it); when
+    #                         a caller opts into damping (<1.0, the web-
+    #                         scale recommendation) the divergence stays
     #                         inspectable per run without forcing a job.
     scratch_dir: str | None = None  # stage_materialize scratch this build
     #                         reads from; atexit reclaims it, but a
@@ -235,7 +236,12 @@ def build_graph(
         F.countDistinct("url").alias("n_pages"),
         F.countDistinct("name").alias("n_names"),
     ).collect()[0]
-    n_pages = stats["n_pages"]
+    if cfg.count_all_pages:
+        # reference-exact page count (includes zero-mention pages) — one
+        # extra corpus scan, see PipelineConfig.count_all_pages
+        n_pages = pages.select(F.countDistinct("url")).collect()[0][0]
+    else:
+        n_pages = stats["n_pages"]
     bcast_ok = stats["n_names"] <= cfg.broadcast_threshold_rows
     # fm is referenced by ~25 downstream joins/unions — prune to the 4
     # columns the scoring tail needs, then MATERIALIZE the stage to scratch
@@ -253,7 +259,17 @@ def build_graph(
     fm = filter_pointless_full(mentions, cfg.symbol_len_limit, bcast_ok)  # F6+F7
     fm = fm.select("url", "name", "kind", "start_byte")
     scratch = None
-    if cfg.stage_materialize:
+    master = spark.conf.get("spark.master", "")
+    if cfg.stage_materialize and cfg.stage_scratch_uri:
+        # shared scratch (s3://…, hdfs://…) — every executor and the
+        # driver see the same filesystem; cleanup is owned by the scratch
+        # location's lifecycle (TTL / snapshot expiry), not this process.
+        import uuid
+
+        fm_path = cfg.stage_scratch_uri.rstrip("/") + f"/fm_{uuid.uuid4().hex}"
+        fm.write.mode("overwrite").parquet(fm_path)
+        fm = spark.read.parquet(fm_path).cache()
+    elif cfg.stage_materialize and master.startswith("local"):
         import atexit
         import os
         import shutil
@@ -270,6 +286,18 @@ def build_graph(
         fm.write.mode("overwrite").parquet(fm_path)
         fm = spark.read.parquet(fm_path).cache()
     else:
+        if cfg.stage_materialize:
+            # non-local master with no shared scratch URI: a driver-local
+            # tempdir would be written by executors to THEIR disks and
+            # read back truncated — fall back to caching the stage.
+            import warnings
+
+            warnings.warn(
+                "stage_materialize skipped: spark.master is non-local and "
+                "cfg.stage_scratch_uri is unset; set a shared scratch URI "
+                "to materialize the stage on a cluster",
+                stacklevel=2,
+            )
         fm = fm.cache()
     defs = fm.filter(F.col("kind") == "DEF")
     refs = fm.filter(F.col("kind") == "REF")

@@ -128,6 +128,14 @@ def test_hub_damping_bounds_candidate_join(spark):
     # with the knob off (ratio 1.0 -> limit = n_pages) the hub links again
     g2 = build_graph(spark, pages, ev, PipelineConfig(max_def_ratio=1.0))
     assert g2.candidates.filter(F.col("def_name") == "HotStar").count() > 0
+    # DEFAULT config is reference parity (1.0 = undamped) on this
+    # hub-heavy fixture: identical related output, empty stoplist
+    g3 = build_graph(spark, pages, ev, PipelineConfig())
+    assert g3.damped.count() == 0
+    assert (
+        sorted(map(tuple, g3.related.collect()))
+        == sorted(map(tuple, g2.related.collect()))
+    )
 
 
 def test_per_file_gate_no_evidence_no_imports(spark):
