@@ -18,15 +18,22 @@ from __future__ import annotations
 DOCN = "CAST(string_split({col}, '//')[2] AS BIGINT)"
 
 
-def _kg_ctes(prefix: str = "", pages_where: str = "TRUE") -> str:
+def _kg_ctes(prefix: str = "", pages_where: str = "TRUE",
+             pages_sql: str | None = None) -> str:
     """The text-mode KG pipeline as a CTE chain (mentions → filtered →
     edges → related), optionally name-prefixed so two corpora can coexist
-    in one statement (snapshot diff)."""
+    in one statement (snapshot diff). ``pages_sql`` overrides the pages
+    source (must yield url, content, source) — used by oracles whose
+    corpus is range-generated rather than documents-derived."""
     p = prefix
+    if pages_sql is None:
+        pages_sql = (
+            "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+            f"text AS content, lang, source FROM documents WHERE {pages_where}"
+        )
     return f"""
 {p}pages AS (
-  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text AS content, lang, source
-  FROM documents WHERE {pages_where}
+  {pages_sql}
 ),
 {p}tok0 AS (
   SELECT url, source,
@@ -826,6 +833,31 @@ SELECT name,
        label AS canonical_name
 FROM cc_labels
 """
+
+# kg_delta_related: the incremental splice equals a from-scratch rebuild
+# (pinned by tests/test_incremental.py), and the rebuilt graph over the
+# POST-delta corpus is plain SQL — so the iterative splice is value-
+# verified engine-vs-engine, like kg_pagerank / u4_canonical_components.
+# The corpus is range-generated identically to the Spark query: 300 pages
+# in 30 ten-page vocabulary islands; pages 0-4 carry the delta suffix.
+_DELTA_PAGES_SQL = """
+SELECT 'doc://' || CAST(i AS VARCHAR) AS url,
+         'ent' || CAST(i // 10 AS VARCHAR) || '_alpha ent'
+         || CAST(i // 10 AS VARCHAR) || '_beta ent'
+         || CAST(i // 10 AS VARCHAR) || '_alpha ent'
+         || CAST(i // 10 AS VARCHAR) || '_gamma page'
+         || CAST(i AS VARCHAR) || '_title'
+         || CASE WHEN i < 5 THEN ' ent1_alpha ent1_beta' ELSE '' END AS content,
+         's' AS source
+  FROM (SELECT CAST(unnest(range(300)) AS BIGINT) AS i)"""
+
+ORACLES["kg_delta_related"] = (
+    "WITH "
+    + _kg_ctes("dr_", pages_sql=_DELTA_PAGES_SQL).lstrip()
+    + """
+SELECT page, other, CAST(score AS BIGINT) AS score FROM dr_related
+"""
+)
 
 ORACLES["dd_simhash"] = """
 WITH sim_tok AS (

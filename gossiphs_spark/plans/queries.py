@@ -1049,8 +1049,10 @@ def kg_delta_related(spark, sf_dir):
     """Incremental maintenance end-to-end (operators/incremental.py):
     300 pages in 30 ten-page vocabulary islands; a 5-page delta touches
     two islands, so ~20 pages recompute and 280 splice through untouched.
-    Rows-only (iterative state splice); equality with a full rebuild is
-    pinned in tests/test_incremental.py."""
+    Oracle-verified: the splice equals a from-scratch rebuild (pinned in
+    tests/test_incremental.py), and the DuckDB twin rebuilds the graph
+    over the POST-delta corpus — a hash mismatch anywhere in the splice
+    (stats update, affected-page closure, edge prefilter) flips it."""
     from gossiphs_spark.operators.incremental import apply_delta, name_stats
 
     g = (F.col("id") / 10).cast("long")
