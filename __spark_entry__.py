@@ -86,6 +86,10 @@ _QUERY_NAMES = [
     "ann_lsh_buckets",
     "ann_ivf_search",
     "mm_image_dims",
+    # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
+    # CTE twin — the reference's api.rs:457-526 exact-score test,
+    # engine-vs-engine
+    "kg_build_scored",
     # incremental splice — oracled as a from-scratch SQL rebuild of the
     # post-delta corpus (splice ≡ rebuild is pinned in tests)
     "kg_delta_related",

@@ -834,6 +834,286 @@ SELECT name,
 FROM cc_labels
 """
 
+# kg_build_scored: the COMPOSED scored pipeline (plans/pipeline.build_graph)
+# as one DuckDB CTE chain — the reference's exact-score test
+# (/root/reference/src/api.rs:457-526) done engine-vs-engine. The corpus is
+# range-generated with the same arithmetic as the Spark query; everything
+# downstream (F6/F7 → gate → damping → J1/J2 candidates → J3/J4 physical →
+# F8/A4/A12 decayed Jaccard → A3 IDF → A11 /√ref_count → W6 entropy →
+# F11 → X8 buckets → W1 knee+cap → J7 fallback → A8/A9 rollup) is
+# recomputed relationally, mirroring the pipeline's float ops exactly
+# (same operation order; no mid-chain rounding — the X8 floor and the
+# integer rollup absorb sub-ulp drift).
+ORACLES["kg_build_scored"] = """
+WITH ids AS (SELECT CAST(unnest(range(44)) AS BIGINT) AS i),
+pg AS (
+  SELECT i,
+    'https://w.example/d' || CAST(i // 5 AS VARCHAR) || '/p'
+      || CAST(i AS VARCHAR) || '.html' AS url,
+    CASE WHEN i >= 40 THEN 'Solo' || CAST(i AS VARCHAR)
+         WHEN i % 5 = 0 THEN 'Hub1'
+         ELSE 'Ent' || CAST(i % 10 AS VARCHAR) END AS title,
+    (i < 40 AND i % 8 <> 7) AS has_ev,
+    (i < 40 AND i % 4 <> 3) AS has_imp,
+    'https://w.example/d' || CAST(((i + 1) % 10) // 5 AS VARCHAR) || '/p'
+      || CAST((i + 1) % 10 AS VARCHAR) || '.html' AS imp_target
+  FROM ids
+),
+mdefs AS (SELECT url, title AS name FROM pg),
+mrefs AS (
+  SELECT url, 'Hub1' AS name FROM pg WHERE i < 40
+  UNION ALL SELECT url, 'Ent' || CAST((i + 1) % 10 AS VARCHAR) FROM pg WHERE i < 40
+  UNION ALL SELECT url, 'Ent' || CAST((i + 1) % 10 AS VARCHAR) FROM pg WHERE i < 40
+  UNION ALL SELECT url, 'Ent' || CAST((i + 3) % 10 AS VARCHAR) FROM pg WHERE i < 40
+  UNION ALL SELECT url, 'Alpha.Ent' || CAST((i + 7) % 10 AS VARCHAR) FROM pg WHERE i < 40
+  UNION ALL SELECT url, 'Solo' || CAST(40 + (i // 8) % 4 AS VARCHAR)
+    FROM pg WHERE i < 40 AND i % 8 = 7
+),
+np AS (
+  SELECT COUNT(DISTINCT url) AS n FROM (
+    SELECT url FROM mdefs UNION ALL SELECT url FROM mrefs
+  )
+),
+-- F6 (len > 3: every fixture name passes) + F7 with dotted suffixes
+def_keep AS (
+  SELECT DISTINCT name FROM mrefs
+  UNION
+  SELECT DISTINCT string_split(name, '.')[-1] FROM mrefs WHERE name LIKE '%.%'
+),
+fdefs AS (SELECT * FROM mdefs WHERE name IN (SELECT name FROM def_keep)),
+dnames AS (SELECT DISTINCT name FROM fdefs),
+frefs AS (
+  SELECT * FROM mrefs
+  WHERE name IN (SELECT name FROM dnames)
+     OR (name NOT IN (SELECT name FROM dnames)
+         AND string_split(name, '.')[-1] IN (SELECT name FROM dnames))
+),
+-- F8 fat-evidence filter + A12 anchor + A4 decay (half-life 365 d)
+evr AS (
+  SELECT url, 'e' || CAST(i % 6 AS VARCHAR) AS eid,
+         CAST(1704067200 + (i % 6) * 86400 AS DOUBLE) AS ep
+  FROM pg WHERE has_ev
+  UNION ALL
+  SELECT url, 'e' || CAST((i % 6 + 1) % 6 AS VARCHAR),
+         CAST(1704067200 + ((i % 6 + 1) % 6) * 86400 AS DOUBLE)
+  FROM pg WHERE has_ev
+  UNION ALL
+  SELECT url, 'fat', CAST(1704067200 + 6 * 86400 AS DOUBLE) FROM pg
+),
+evd0 AS (SELECT DISTINCT url, eid, ep FROM evr),
+evsz AS (SELECT eid, COUNT(DISTINCT url) AS nu FROM evd0 GROUP BY eid),
+evv AS (
+  SELECT e.* FROM evd0 e
+  WHERE e.eid IN (SELECT eid FROM evsz, np WHERE nu < CAST(FLOOR(np.n * 1.0) AS BIGINT))
+),
+anch AS (SELECT MAX(ep) AS mx FROM evv),
+evd AS (
+  SELECT url, eid,
+         POWER(2.0, -(((SELECT mx FROM anch) - ep) / 86400.0) / 365.0) AS w
+  FROM evv
+),
+cardt AS (SELECT url, SUM(w) AS card FROM evd GROUP BY url),
+signal AS (SELECT url FROM evv UNION SELECT url FROM pg WHERE has_imp),
+-- O8 hub damping at ratio 0.15: limit = max(int(n_pages*0.15), 1)
+dftbl AS (SELECT name, COUNT(DISTINCT url) AS df FROM fdefs GROUP BY name),
+stop AS (
+  SELECT name FROM dftbl, np
+  WHERE df > GREATEST(CAST(FLOOR(np.n * 0.15) AS BIGINT), 1)
+),
+cdefs AS (SELECT * FROM fdefs WHERE name NOT IN (SELECT name FROM stop)),
+crefs AS (SELECT * FROM frefs WHERE name NOT IN (SELECT name FROM stop)),
+-- J1/J2 candidates at the (ref_url, ref_name) grain + per-file gate
+rgg AS (
+  SELECT url AS ref_url, name AS ref_name, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM crefs WHERE url IN (SELECT url FROM signal)
+  GROUP BY url, name
+),
+ddt AS (SELECT url AS def_url, name AS def_name FROM cdefs),
+cands0 AS (
+  SELECT g.ref_url, g.ref_name, g.occ, d.def_url, d.def_name
+  FROM rgg g JOIN ddt d ON g.ref_name = d.def_name
+  UNION ALL
+  SELECT g.ref_url, g.ref_name, g.occ, d.def_url, d.def_name
+  FROM (
+    SELECT * FROM rgg WHERE ref_name NOT IN (SELECT def_name FROM ddt)
+    UNION ALL
+    SELECT * FROM rgg WHERE ref_name IN (SELECT def_name FROM ddt)
+      AND ref_name LIKE '%.%'
+  ) g
+  JOIN ddt d ON string_split(g.ref_name, '.')[-1] = d.def_name
+),
+-- J3 imports (U3-resolved targets) + J4 same host+directory
+impt AS (SELECT DISTINCT url AS ref_url, imp_target AS def_url FROM pg WHERE has_imp),
+cand AS (
+  SELECT c.*,
+         (m.def_url IS NOT NULL) AS imported,
+         (regexp_extract(c.ref_url, '^(.*)/', 1)
+            = regexp_extract(c.def_url, '^(.*)/', 1)) AS same_pkg,
+         ((m.def_url IS NOT NULL)
+            OR regexp_extract(c.ref_url, '^(.*)/', 1)
+                 = regexp_extract(c.def_url, '^(.*)/', 1)) AS has_physical
+  FROM cands0 c
+  LEFT JOIN impt m ON c.ref_url = m.ref_url AND c.def_url = m.def_url
+),
+-- J5/A5/A6 decayed co-occurrence restricted to candidate pairs
+cpairs AS (SELECT DISTINCT ref_url, def_url FROM cand),
+intert AS (
+  SELECT p.ref_url, p.def_url, SUM(a.w) AS inter
+  FROM cpairs p JOIN evd a ON a.url = p.ref_url
+  WHERE EXISTS (SELECT 1 FROM evd b WHERE b.url = p.def_url AND b.eid = a.eid)
+  GROUP BY p.ref_url, p.def_url
+),
+-- A3 IDF (undamped defs) + A11 ref_count (undamped refs)
+idft AS (
+  SELECT name AS def_name,
+         LN(CAST((SELECT n FROM np) AS DOUBLE) / COUNT(DISTINCT url)) + 1.0 AS idf
+  FROM fdefs GROUP BY name
+),
+rct AS (SELECT url AS def_url, CAST(COUNT(*) AS BIGINT) AS ref_count FROM frefs GROUP BY url),
+scored0 AS (
+  SELECT c.ref_url, c.ref_name, c.occ, c.def_url, c.def_name,
+         c.has_physical, c.imported,
+         COALESCE(i.idf, 1.0) AS idf,
+         COALESCE(n.inter, 0.0) AS inter,
+         COALESCE(ca.card, 0.0) AS card_a,
+         COALESCE(cb.card, 0.0) AS card_b,
+         COALESCE(r.ref_count, 0) AS ref_count
+  FROM cand c
+  LEFT JOIN idft i ON c.def_name = i.def_name
+  LEFT JOIN intert n ON c.ref_url = n.ref_url AND c.def_url = n.def_url
+  LEFT JOIN cardt ca ON c.ref_url = ca.url
+  LEFT JOIN cardt cb ON c.def_url = cb.url
+  LEFT JOIN rct r ON c.def_url = r.def_url
+),
+scored1 AS (
+  SELECT *, CASE WHEN ref_count > 0
+                 THEN base_s / SQRT(CAST(ref_count AS DOUBLE))
+                 ELSE base_s END AS score
+  FROM (
+    SELECT *,
+      idf * (CASE WHEN card_a + card_b - inter > 0
+                  THEN inter / (card_a + card_b - inter) ELSE 0.0 END) * 10.0
+      + (CASE WHEN has_physical THEN 100.0 ELSE 0.0 END)
+      + (CASE WHEN imported THEN 50.0 ELSE 0.0 END) AS base_s
+    FROM scored0
+  )
+),
+-- W6 entropy / z-score ambiguity pruning per (ref_url, ref_name)
+ent0 AS (
+  SELECT *, SUM(score) OVER w AS gsum, COUNT(*) OVER w AS gcnt,
+         AVG(score) OVER w AS gmean,
+         COALESCE(STDDEV_POP(score) OVER w, 0.0) AS gstd
+  FROM scored1 WINDOW w AS (PARTITION BY ref_url, ref_name)
+),
+ent1 AS (
+  SELECT *, SUM(CASE WHEN gsum > 0 AND score > 0
+                     THEN -(score / gsum) * LN(score / gsum) ELSE 0.0 END)
+            OVER (PARTITION BY ref_url, ref_name) AS entropy
+  FROM ent0
+),
+adjt AS (
+  SELECT ref_url, ref_name, occ, def_url, def_name, has_physical,
+    CASE WHEN gcnt > 1 AND gsum > 0 THEN
+      (CASE WHEN (NOT has_physical) AND gcnt > 2 AND score < gmean + 0.5 * gstd
+            THEN score * 0.1 ELSE score END) * EXP(-entropy)
+    ELSE score END AS score
+  FROM ent1
+),
+-- F11 min_score (0.01) + X8 integer buckets
+buck AS (
+  SELECT *, CAST(FLOOR(score) AS BIGINT) AS bucket
+  FROM adjt WHERE has_physical OR score >= 0.01
+),
+-- W1 knee/max-drop over distinct buckets, head k = max(def_limit,2) = 3
+wds AS (SELECT DISTINCT ref_url, ref_name, bucket AS s FROM buck),
+whead AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY ref_url, ref_name ORDER BY s DESC) - 1 AS i
+    FROM wds
+  ) WHERE i < 3
+),
+wst AS (
+  SELECT *, COUNT(*) OVER w AS n, MAX(s) OVER w AS top, MIN(s) OVER w AS last,
+         LAG(s) OVER (PARTITION BY ref_url, ref_name ORDER BY s DESC) AS prev
+  FROM whead WINDOW w AS (PARTITION BY ref_url, ref_name)
+),
+wk0 AS (
+  SELECT *,
+    CASE WHEN n <= 2 OR top <= 0 THEN NULL
+         ELSE (1.0 + (CAST(last AS DOUBLE) / top - 1.0)
+               * (CAST(i AS DOUBLE) / (n - 1))) - CAST(s AS DOUBLE) / top
+    END AS dist,
+    CASE WHEN prev IS NOT NULL AND prev > 0
+         THEN (CAST(prev AS DOUBLE) - s) / prev END AS drp
+  FROM wst
+),
+wk1 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY ref_url, ref_name
+                       ORDER BY dist DESC NULLS LAST, i ASC) AS knee_rn,
+    ROW_NUMBER() OVER (PARTITION BY ref_url, ref_name
+                       ORDER BY drp DESC NULLS LAST, i ASC) AS drop_rn
+  FROM wk0
+),
+wcut AS (
+  SELECT ref_url, ref_name,
+    GREATEST(
+      CASE WHEN MAX(n) <= 2 THEN MIN(s)
+           WHEN MAX(top) <= 0 THEN MAX(CASE WHEN i = 0 THEN s END)
+           ELSE MAX(CASE WHEN knee_rn = 1 AND dist IS NOT NULL THEN s END) END,
+      COALESCE(MAX(CASE WHEN drop_rn = 1 AND drp IS NOT NULL THEN prev END),
+               MAX(CASE WHEN i = 0 THEN s END))
+    ) AS cutoff
+  FROM wk1 GROUP BY ref_url, ref_name
+),
+keptt AS (
+  SELECT ref_url, ref_name, occ, def_url, def_name, bucket FROM (
+    SELECT b.*, c.cutoff,
+      ROW_NUMBER() OVER (PARTITION BY b.ref_url, b.ref_name
+                         ORDER BY b.bucket DESC, b.def_url ASC) AS rn
+    FROM buck b JOIN wcut c
+      ON b.ref_url = c.ref_url AND b.ref_name = c.ref_name
+  ) WHERE (bucket >= cutoff OR rn = 1) AND rn <= 3
+),
+-- J7 unique-def fallback (weight-0 links; global refs, ungated)
+uniqt AS (
+  SELECT name AS def_name, MIN(url) AS def_url FROM fdefs
+  GROUP BY name HAVING COUNT(DISTINCT url) = 1
+),
+uniq2 AS (
+  SELECT u.* FROM uniqt u
+  WHERE NOT EXISTS (SELECT 1 FROM keptt k
+                    WHERE k.def_url = u.def_url AND k.def_name = u.def_name)
+),
+fbt AS (
+  SELECT r.url AS ref_url, CAST(COUNT(*) AS BIGINT) AS occ,
+         u.def_url, CAST(0 AS BIGINT) AS bucket
+  FROM frefs r JOIN uniq2 u ON r.name = u.def_name
+  WHERE r.url <> u.def_url GROUP BY r.url, u.def_url
+),
+-- A8 edges + A9 related rollup (F10 score > 0)
+syme AS (
+  SELECT ref_url, def_url, occ, bucket FROM keptt
+  UNION ALL SELECT ref_url, def_url, occ, bucket FROM fbt
+),
+dct AS (SELECT url AS def_url, COUNT(*) AS def_count FROM fdefs GROUP BY url),
+rin AS (
+  SELECT s.def_url AS page, s.ref_url AS other,
+    CAST(s.occ * (CASE WHEN COALESCE(d.def_count, 0) > 0
+                       THEN GREATEST(CAST(FLOOR(s.bucket / d.def_count) AS BIGINT), 1)
+                       ELSE s.bucket END) AS BIGINT) AS w
+  FROM syme s LEFT JOIN dct d ON s.def_url = d.def_url
+),
+rout AS (
+  SELECT ref_url AS page, def_url AS other, CAST(occ * bucket AS BIGINT) AS w
+  FROM syme
+)
+SELECT page, other, CAST(SUM(w) AS BIGINT) AS score
+FROM (SELECT * FROM rin UNION ALL SELECT * FROM rout)
+WHERE page <> other GROUP BY page, other HAVING SUM(w) > 0
+"""
+
 # kg_delta_related: the incremental splice equals a from-scratch rebuild
 # (pinned by tests/test_incremental.py), and the rebuilt graph over the
 # POST-delta corpus is plain SQL — so the iterative splice is value-

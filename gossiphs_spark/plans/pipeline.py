@@ -58,6 +58,10 @@ class GraphTables:
     #                         repeatedly should release() each result once
     #                         done to bound disk (one corpus-scale dir per
     #                         build otherwise).
+    cached: tuple = ()      # the intermediates THIS build cached, so a
+    #                         caller can release exactly them (not
+    #                         catalog.clearCache(), which evicts every
+    #                         other query's warmed caches session-wide)
 
     def release(self) -> None:
         """Drop this build's scratch stage (the tables become unreadable)."""
@@ -65,6 +69,12 @@ class GraphTables:
             import shutil
 
             shutil.rmtree(self.scratch_dir, ignore_errors=True)
+
+    def release_caches(self) -> None:
+        """Unpersist the intermediates this build cached — scoped, so other
+        queries sharing the session keep their caches."""
+        for df in self.cached:
+            df.unpersist()
 
 
 def _maybe_broadcast(df: DataFrame, ok: bool) -> DataFrame:
@@ -532,6 +542,7 @@ def build_graph(
         triples=triples,
         damped=stoplist,
         scratch_dir=scratch,
+        cached=(mentions, fm, ev, evd, cands, kept, sym_edges),
     )
 
 

@@ -996,6 +996,18 @@ def _detach(spark, df):
     return spark.createDataFrame(rows, schema)
 
 
+def _detach_graph(spark, df, g):
+    """Scoped :func:`_detach`: materialize a small result, then release
+    exactly the caches (and the scratch stage) the given build created —
+    unlike ``clearCache()`` this leaves every OTHER query's warmed cache
+    in place when many contract queries share one session (bench/driver)."""
+    rows = df.collect()
+    schema = df.schema
+    g.release_caches()
+    g.release()
+    return spark.createDataFrame(rows, schema)
+
+
 def mm_image_dims(spark, sf_dir):
     """Multimodal REAL decode path, oracle-verified: valid PNG (even
     doc_id) / GIF (odd) container headers are byte-assembled from doc_id,
@@ -1091,7 +1103,96 @@ def kg_build_related(spark, sf_dir):
 
     pages, evidence, _ = pages_df(spark, n_pages=200, seed=7)
     g = build_graph(spark, pages, evidence, PipelineConfig())
-    return _detach(spark, g.related)
+    return _detach_graph(spark, g.related, g)
+
+
+def kg_build_scored(spark, sf_dir):
+    """The COMPOSED scored pipeline, oracle-verified end to end — the
+    engine-vs-engine analog of the reference's exact-score test
+    (/root/reference/src/api.rs:457-526): J1/J2 linking, J3 imports
+    through the U3 resolution ladder, J4 same-package, F8 fat-evidence,
+    A4/A12 decayed co-occurrence, A3 IDF, A11 /√ref_count, W6
+    entropy/z-score, F11 min_score, X8 bucketing, W1 knee+cap, O8 hub
+    damping, the per-file gate, J7 fallback, and the A8/A9 rollup — all
+    interacting in ONE build whose related table hash-matches a DuckDB
+    CTE twin.
+
+    Fixture (44 html pages, range-generated identically in the oracle):
+    titles give Hub1 df=8 (damped at ratio 0.15), Ent{1-4,6-9} df=4
+    (4-candidate knee groups), Solo40-43 df=1 (J7 fallback via gated-page
+    refs); bodies carry occ=2 refs and dotted Alpha.EntK refs (J2);
+    anchors resolve absolute / scheme-relative / ../relative hrefs (U3)
+    to one def page (+150); directory blocks of 5 give same_pkg (+100);
+    snapshots e0-e5 at day k with a dropped 44-page 'fat' snapshot (F8)
+    drive decayed Jaccard. def_limit=3 binds both the knee head and the
+    hard cap. The extraction kernel never sees the oracle's arithmetic —
+    any U1/scoring/pruning deviation flips the value hash."""
+    from gossiphs_spark.config import PipelineConfig
+    from gossiphs_spark.plans.pipeline import build_graph
+
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url_of = lambda pid: F.concat(  # noqa: E731
+        F.lit("https://w.example/d"), s(F.floor(pid / 5).cast("long")),
+        F.lit("/p"), s(pid), F.lit(".html"),
+    )
+    title = (
+        F.when(i >= 40, F.concat(F.lit("Solo"), s(i)))
+        .when(i % 5 == 0, F.lit("Hub1"))
+        .otherwise(F.concat(F.lit("Ent"), s(i % 10)))
+    )
+    k1, k3, k7 = (i + 1) % 10, (i + 3) % 10, (i + 7) % 10
+    body = F.when(i >= 40, F.lit("word")).otherwise(
+        F.concat_ws(
+            " ", F.lit("Hub1"),
+            F.concat(F.lit("Ent"), s(k1)), F.concat(F.lit("Ent"), s(k1)),
+            F.concat(F.lit("Ent"), s(k3)),
+            F.concat(F.lit("Alpha.Ent"), s(k7)),
+            F.lit("word like this"),
+        )
+    )
+    solo_ref = F.when(
+        (i < 40) & (i % 8 == 7),
+        F.concat(F.lit(" Solo"), s(F.lit(40) + (F.floor(i / 8).cast("long") % 4))),
+    ).otherwise(F.lit(""))
+    jd = s(F.floor(k1 / 5).cast("long"))
+    target = (
+        F.when(i % 10 == 2, F.concat(F.lit("//w.example/d"), jd, F.lit("/p"), s(k1), F.lit(".html")))
+        .when(i % 2 == 0, url_of(k1))
+        .otherwise(F.concat(F.lit("../d"), jd, F.lit("/p"), s(k1), F.lit(".html")))
+    )
+    anchor = F.when(
+        (i < 40) & (i % 4 != 3),
+        F.concat(F.lit('<a href="'), target, F.lit('">x</a>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body><p>"),
+        body, solo_ref, F.lit("</p>"), anchor, F.lit("</body></html>"),
+    )
+    r = spark.range(44)
+    pages = r.select(url_of(i).alias("url"), F.encode(html, "utf-8").alias("html"))
+
+    base_ep = 1704067200  # 2024-01-01T00:00:00Z
+    ev_of = lambda k: r.filter((i < 40) & (i % 8 != 7)).select(  # noqa: E731
+        url_of(i).alias("url"),
+        F.concat(F.lit("e"), s(k)).alias("evidence_id"),
+        F.timestamp_seconds(F.lit(base_ep) + k * 86400).alias("ts"),
+    )
+    fat = r.select(
+        url_of(i).alias("url"), F.lit("fat").alias("evidence_id"),
+        F.timestamp_seconds(F.lit(base_ep + 6 * 86400)).alias("ts"),
+    )
+    evidence = ev_of(i % 6).unionByName(ev_of((i % 6 + 1) % 6)).unionByName(fat)
+
+    g = build_graph(
+        spark, pages, evidence,
+        PipelineConfig(max_def_ratio=0.15, def_limit=3),
+    )
+    return _detach_graph(
+        spark,
+        g.related.select("page", "other", F.col("score").cast("long").alias("score")),
+        g,
+    )
 
 
 def kg_triples_canonical(spark, sf_dir):
