@@ -328,6 +328,84 @@ def extract_page_json(url: str, blob: bytes) -> list[tuple]:
     return out
 
 
+# --------------------------------------------------------------------------
+# XML/RSS profile — fifth grammar behind the F1 dispatch (feeds, sitemaps
+# and API XML are the next real corpus slice after html/md/text/json; the
+# reference's rule table spans 14 languages, src/rule.rs:42-252). Regex-
+# scanned like the JSON profile: offsets are the identity anchor and real
+# feeds are routinely malformed.
+#   first <title>…</title>           → DEF  (channel/item entity)
+#   <link>URL</link>, href="…" attrs → IMPORT (F12 quote trim)
+#   element tag names                → NAMESPACE (structural names,
+#                                      excluded from the REF scan)
+#   Capitalized tokens in text content → REF
+# --------------------------------------------------------------------------
+_XML_LINK_RE = re.compile(r"<link[^>]*>(.*?)</link>", re.DOTALL | re.IGNORECASE)
+_XML_HREF_RE = re.compile(r"""\bhref=(["'])(.*?)\1""", re.IGNORECASE)
+_XML_TAGNAME_RE = re.compile(r"<([A-Za-z_][A-Za-z0-9_.:-]*)")
+
+
+def extract_page_xml(url: str, blob: bytes) -> list[tuple]:
+    """One XML/RSS page → mention rows. Pure; same output contract as the
+    html/markdown/text/json profiles."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+
+    for nm in _XML_TAGNAME_RE.finditer(s):
+        r0, c0 = _row_col(s, nm.start(1))
+        r1, c1 = _row_col(s, nm.end(1))
+        out.append((url, nm.group(1), "NAMESPACE",
+                    nm.start(1), nm.end(1), r0, c0, r1, c1))
+
+    title_span = None
+    tm = _TITLE_RE.search(s)
+    if tm:
+        name = tm.group(1).strip()
+        if name:
+            title_span = tm.span(1)
+            r0, c0 = _row_col(s, tm.start(1))
+            r1, c1 = _row_col(s, tm.end(1))
+            out.append((url, name, "DEF", tm.start(1), tm.end(1), r0, c0, r1, c1))
+
+    link_spans: list[tuple[int, int]] = []
+    for lm in _XML_LINK_RE.finditer(s):
+        target = lm.group(1).strip().strip("\"'<>")  # F12 trim
+        if target:
+            link_spans.append(lm.span(1))
+            r0, c0 = _row_col(s, lm.start(1))
+            r1, c1 = _row_col(s, lm.end(1))
+            out.append((url, target, "IMPORT", lm.start(1), lm.end(1), r0, c0, r1, c1))
+    for hm in _XML_HREF_RE.finditer(s):
+        target = hm.group(2).strip().strip("\"'<>")
+        if target:
+            link_spans.append(hm.span(2))
+            r0, c0 = _row_col(s, hm.start(2))
+            r1, c1 = _row_col(s, hm.end(2))
+            out.append((url, target, "IMPORT", hm.start(2), hm.end(2), r0, c0, r1, c1))
+
+    def covered(a: int, b: int) -> bool:
+        if title_span and a >= title_span[0] and b <= title_span[1]:
+            return True
+        return any(a < y and b > x for (x, y) in link_spans)
+
+    for em in _ENTITY_RE.finditer(s):
+        a, b = em.span()
+        if covered(a, b):
+            continue
+        # skip matches inside tags (attribute values, tag names)
+        lt = s.rfind("<", 0, a)
+        gt = s.rfind(">", 0, a)
+        if lt > gt:
+            continue
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, em.group(0), "REF", a, b, r0, c0, r1, c1))
+    return out
+
+
 _PROFILES = {
     "md": extract_page_md,
     "markdown": extract_page_md,
@@ -335,6 +413,9 @@ _PROFILES = {
     "text": extract_page_txt,
     "json": extract_page_json,
     "jsonld": extract_page_json,
+    "xml": extract_page_xml,
+    "rss": extract_page_xml,
+    "atom": extract_page_xml,
 }
 
 
@@ -359,6 +440,8 @@ def profile_of(url: str, blob: bytes | None = None):
             head = blob[:256].decode("utf-8", "ignore").lstrip()
         except AttributeError:
             head = ""
+        if head.startswith(("<?xml", "<rss", "<feed")):
+            return extract_page_xml
         if head.startswith("<"):
             return extract_page
         if head.startswith(("{", "[")):

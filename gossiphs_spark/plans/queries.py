@@ -109,12 +109,12 @@ def u1_md_mentions(spark, sf_dir):
 
 
 def u1_mixed_profiles(spark, sf_dir):
-    """Four grammars through ONE extraction run (F1 dispatch): documents
-    render to html (doc_id%4==0), markdown (%4==1), plain text with an
-    EXTENSIONLESS url (%4==2 — exercising the content sniff), or JSON
-    (%4==3), all with the same deterministic body; the per-page kind
-    counts are profile-invariant by construction, so the oracle
-    recomputes them once."""
+    """Five grammars through ONE extraction run (F1 dispatch): documents
+    render to html (doc_id%5==0), markdown (%5==1), plain text with an
+    EXTENSIONLESS url (%5==2 — exercising the content sniff), JSON
+    (%5==3), or XML/RSS (%5==4), all with the same deterministic body;
+    the per-page kind counts are profile-invariant by construction, so
+    the oracle recomputes them once."""
     from gossiphs_spark.operators.extract import extract_mentions
 
     d = load_table(spark, sf_dir, "documents")
@@ -126,12 +126,13 @@ def u1_mixed_profiles(spark, sf_dir):
     body = F.array_join(toks, " ")
     did = F.col("doc_id").cast("string")
     nid = ((F.col("doc_id") + 1) % n).cast("string")
-    mode = F.col("doc_id") % 4
+    mode = F.col("doc_id") % 5
     url = (
         F.when(mode == 0, F.concat(F.lit("doc://"), did, F.lit("/page.html")))
         .when(mode == 1, F.concat(F.lit("doc://"), did, F.lit("/page.md")))
         .when(mode == 2, F.concat(F.lit("doc://"), did, F.lit("/page")))
-        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/page.json")))
+        .when(mode == 3, F.concat(F.lit("doc://"), did, F.lit("/page.json")))
+        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/feed.xml")))
     )
     content = (
         F.when(mode == 0, F.concat(
@@ -146,9 +147,15 @@ def u1_mixed_profiles(spark, sf_dir):
             F.lit("Doc"), did, F.lit("\n"), body,
             F.lit("\nsee https://ex.com/"), nid,
         ))
-        .otherwise(F.concat(
+        .when(mode == 3, F.concat(
             F.lit('{"title": "Doc'), did, F.lit('", "body": "'), body,
             F.lit('", "link": "https://ex.com/'), nid, F.lit('"}'),
+        ))
+        .otherwise(F.concat(
+            F.lit('<?xml version="1.0"?><rss><channel><title>Doc'), did,
+            F.lit("</title><description>"), body,
+            F.lit("</description><link>https://ex.com/"), nid,
+            F.lit("</link></channel></rss>"),
         ))
     )
     pages = d.select(url.alias("url"), F.encode(content, "utf-8").alias("html"))

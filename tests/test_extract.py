@@ -218,3 +218,60 @@ def test_json_profile_dispatch_and_sniff():
     assert extract_page_json("u", b'{"title": "Ok", broken') == [
         r for r in extract_page_json("u", b'{"title": "Ok", broken')
     ]
+
+
+XML_GOLDEN = (
+    b'<?xml version="1.0"?>\n'
+    b'<rss version="2.0"><channel>\n'
+    b'<title>Quasar Atlas</title>\n'
+    b'<link>https://example.org/feed.xml</link>\n'
+    b'<description>the Magnetar near Sol.Quasar flared</description>\n'
+    b'<atom:link href="https://example.org/self.xml"/>\n'
+    b'<item><description>Final batch</description></item>\n'
+    b'</channel></rss>\n'
+)
+
+
+def test_xml_profile_golden():
+    from gossiphs_spark.operators.extract import extract_page_xml
+
+    rows = extract_page_xml("doc://11/feed.xml", XML_GOLDEN)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r)
+    # first <title> is the channel entity
+    assert [r[1] for r in by_kind["DEF"]] == ["Quasar Atlas"]
+    # <link> element text AND href attributes both resolve to IMPORTs
+    assert sorted(r[1] for r in by_kind["IMPORT"]) == [
+        "https://example.org/feed.xml", "https://example.org/self.xml"
+    ]
+    # element tag names are structural NAMESPACE mentions (closing tags
+    # and the <?xml declaration excluded)
+    assert sorted(r[1] for r in by_kind["NAMESPACE"]) == [
+        "atom:link", "channel", "description", "description",
+        "item", "link", "rss", "title",
+    ]
+    # capitalized tokens in text content only — never attribute values
+    assert sorted(r[1] for r in by_kind["REF"]) == [
+        "Final", "Magnetar", "Sol.Quasar"
+    ]
+    s = XML_GOLDEN.decode()
+    for r in rows:
+        assert s[r[3]:r[4]] == r[1]  # offsets anchor source bytes exactly
+    assert extract_page_xml("u", XML_GOLDEN) == extract_page_xml("u", XML_GOLDEN)
+
+
+def test_xml_profile_dispatch_and_sniff():
+    from gossiphs_spark.operators.extract import extract_page_xml, profile_of
+
+    assert profile_of("a/b.xml") is extract_page_xml
+    assert profile_of("a/feed.rss?v=1") is extract_page_xml
+    assert profile_of("a/feed.atom") is extract_page_xml
+    # extensionless: xml declaration / rss / feed roots sniff to xml
+    assert profile_of("https://h/feed", XML_GOLDEN) is extract_page_xml
+    assert profile_of("https://h/feed", b"<rss><channel/></rss>") is extract_page_xml
+    assert profile_of("https://h/feed", b'<feed xmlns="x"/>') is extract_page_xml
+    # malformed XML must not throw — regex scan degrades gracefully
+    assert extract_page_xml("u", b"<rss><title>Ok</titl") == [
+        r for r in extract_page_xml("u", b"<rss><title>Ok</titl")
+    ]
