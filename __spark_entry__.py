@@ -86,6 +86,7 @@ _QUERY_NAMES = [
     "ann_lsh_buckets",
     "ann_ivf_search",
     "mm_image_dims",
+    "mm_pixel_stats",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine

@@ -148,7 +148,8 @@ def ivf_assign(cands: DataFrame, centroids: DataFrame) -> DataFrame:
 def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
                   threshold: float = 0.6, nassign: int = 2,
                   train_iters: int = 0,
-                  warn_bucket_frac: float | None = None) -> DataFrame:
+                  warn_bucket_frac: float | None = None,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via IVF blocking: every
     vector is assigned to its ``nassign`` nearest centroids (multiple
     assignment — the standard cure for clusters straddling a centroid
@@ -164,6 +165,15 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
     self-join is quadratic in the largest bucket, so a degenerate
     quantizer should be loud, not slow. Costs one extra aggregation job,
     hence opt-in.
+
+    ``max_bucket_size`` HARD-bounds the quadratic stage: buckets over the
+    cap are split deterministically into ceil(size/cap) hash sub-buckets
+    (md5 of vec_id — stable across runs/partitionings), so per-bucket
+    pair work is O(cap²) no matter how degenerate the quantizer gets.
+    Pairs straddling a split are LOST — the cap trades recall for bounded
+    work, so every split is logged loudly with the size ratio (never a
+    silent cap). At 10^9 vectors one adversarial bucket of 10^7 would
+    otherwise mean 10^14 cosine evaluations in one task's join group.
 
     The recall gate vs the unblocked brute-force pair set lives in
     tests/test_ann.py."""
@@ -192,6 +202,41 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
                 "train centroids (train_iters>0) or raise n_centroids",
                 sizes["mx"], sizes["total"], 100 * warn_bucket_frac,
             )
+    if max_bucket_size is not None and max_bucket_size > 0:
+        from gossiphs_spark.functions import md5_long
+
+        sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+        splits = sizes.select(
+            "cid", F.ceil(F.col("n") / max_bucket_size).cast("long").alias("nsplit")
+        )
+        over = sizes.filter(F.col("n") > max_bucket_size).agg(
+            F.count("*").alias("k"), F.max("n").alias("mx"), F.sum("n").alias("tot")
+        ).collect()[0]
+        if over["k"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "neardup_pairs: splitting %d oversized IVF bucket(s) "
+                "(largest %d rows > cap %d; %d rows affected) — pairs "
+                "straddling a split are not scored; train centroids "
+                "(train_iters>0) or raise n_centroids to restore recall",
+                over["k"], over["mx"], max_bucket_size, over["tot"],
+            )
+        # splits is one row per bucket (≤ n_centroids) → broadcast;
+        # within an oversized bucket the sub-bucket id is a pure hash of
+        # vec_id, so the split is deterministic and shuffle-free
+        assigned = (
+            assigned.join(F.broadcast(splits), "cid")
+            .withColumn(
+                "cid",
+                F.concat_ws(
+                    "#", F.col("cid").cast("string"),
+                    (md5_long(F.col("vec_id").cast("string")) % F.col("nsplit"))
+                    .cast("string"),
+                ),
+            )
+            .drop("nsplit")
+        )
     a = assigned.select(
         "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )

@@ -7,8 +7,11 @@ Decode is REAL for the header-parsable part: PNG/GIF/JPEG/BMP container
 headers carry dimensions in plain bytes, so ``_parse_image_header``
 extracts (format, width, height) with no codec library at all — that is
 the metadata a curation pipeline filters on (drop tiny images, bucket by
-aspect ratio) before any pixel work. Full pixel decode (resizing, real
-perceptual hashing, frame sampling) DOES need the codec libs absent from
+aspect ratio) before any pixel work. Pixel decode is REAL for
+uncompressed 24-bit BMP (``_parse_bmp_pixels``: numpy over the raw padded
+pixel array → channel sums / luminance, oracle-verified via
+mm_pixel_stats). Compressed formats (PNG/JPEG pixel data, resizing,
+perceptual hashing, frame sampling) DO need the codec libs absent from
 this container, so unrecognized payloads fall back to a deterministic
 md5-derived STUB and ``phash`` is a content hash stand-in, documented as
 such. Swap the fallback for PIL/ffmpeg on a real cluster without touching
@@ -86,6 +89,75 @@ def _decode_image(payload: bytes) -> dict:
         "height": 64 + (h[2] % 64) * 16,
         "phash": int.from_bytes(h[3:11], "big", signed=True),
     }
+
+
+PIXEL_SCHEMA = (
+    "url string, n_px long, sum_r long, sum_g long, sum_b long, "
+    "mean_lum double"
+)
+
+
+def _parse_bmp_pixels(p: bytes):
+    """REAL pixel decode for uncompressed 24-bit BMP — the one raster
+    format whose pixel array is plain bytes (no codec library needed):
+    BITMAPINFOHEADER, biCompression=0, biBitCount=24, rows bottom-up and
+    4-byte padded. → channel sums + pixel count, or None for anything
+    else (compressed/paletted/other containers still need the codec libs
+    absent from this sandbox)."""
+    if p[:2] != b"BM" or len(p) < 54:
+        return None
+    off = int.from_bytes(p[10:14], "little")
+    hsz = int.from_bytes(p[14:18], "little")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    bitcount = int.from_bytes(p[28:30], "little")
+    comp = int.from_bytes(p[30:34], "little")
+    if hsz < 40 or bitcount != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(p) < off + rows * stride:
+        return None
+    import numpy as np
+
+    a = (
+        np.frombuffer(p, dtype=np.uint8, count=rows * stride, offset=off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(-1, 3)
+        .astype(np.int64)
+    )
+    sb, sg, sr = (int(s) for s in a.sum(axis=0))  # BMP stores B,G,R
+    return {"n_px": w * rows, "sum_r": sr, "sum_g": sg, "sum_b": sb}
+
+
+def _pixel_stats(payload: bytes) -> dict:
+    if payload is None or len(payload) == 0:
+        parsed = None
+    else:
+        parsed = _parse_bmp_pixels(bytes(payload))
+    if parsed is None:
+        return {"n_px": 0, "sum_r": 0, "sum_g": 0, "sum_b": 0, "mean_lum": None}
+    lum = (
+        0.299 * parsed["sum_r"] + 0.587 * parsed["sum_g"] + 0.114 * parsed["sum_b"]
+    ) / parsed["n_px"]
+    return {**parsed, "mean_lum": lum}
+
+
+def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
+                       key_col: str = "url") -> DataFrame:
+    """df(key, binary) → per-image pixel statistics via the same Arrow-
+    batched mapInPandas shape as decode_binary_column. Real for 24-bit
+    uncompressed BMP (numpy over the raw pixel array); other formats
+    yield n_px=0 / NULL mean until codec libs exist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_pixel_stats(p) for p in pdf[binary_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "url", list(pdf[key_col]))
+            yield out
+
+    return df.select(key_col, binary_col).mapInPandas(run, PIXEL_SCHEMA)
 
 
 def decode_binary_column(df: DataFrame, binary_col: str = "payload",

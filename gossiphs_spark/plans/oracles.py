@@ -1323,6 +1323,36 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
 FROM documents
 """
 
+# mm_pixel_stats: the BMP decoder reads real padded pixel rows; the oracle
+# recomputes the channel sums from the per-pixel arithmetic the builder
+# used (row order cancels in the sums; the decoder never sees this form)
+ORACLES["mm_pixel_stats"] = """
+WITH mp AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id % 5 + 2 AS BIGINT) AS w,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT did, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+  FROM mp,
+       LATERAL (SELECT unnest(range(w)) AS x) xs,
+       LATERAL (SELECT unnest(range(h)) AS y) ys
+),
+sums AS (
+  SELECT did, MAX(w * h) AS n_px,
+         CAST(SUM((did + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+         CAST(SUM((did * 2 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_g,
+         CAST(SUM((did * 5 + x * 11 + y * 2) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY did
+)
+SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
+       CAST(n_px AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+       ROUND((CAST(0.299 AS DOUBLE) * sum_r + CAST(0.587 AS DOUBLE) * sum_g
+              + CAST(0.114 AS DOUBLE) * sum_b) / n_px, 6) AS mean_lum
+FROM sums
+"""
+
 ORACLES["tq_source_curation"] = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1050,6 +1050,63 @@ def mm_image_dims(spark, sf_dir):
     )
 
 
+def mm_pixel_stats(spark, sf_dir):
+    """Multimodal REAL pixel decode, oracle-verified: complete uncompressed
+    24-bit BMPs (header + padded bottom-up pixel rows) are byte-assembled
+    from doc_id arithmetic, the mapInPandas kernel decodes the raw pixel
+    array (numpy — no codec libs needed for uncompressed BMP) into channel
+    sums + luminance, and the oracle derives the same stats from the pixel
+    formula directly. The decoder never sees the construction — a stride/
+    padding/channel-order bug flips the hash."""
+    from gossiphs_spark.operators.multimodal import decode_pixel_stats
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    d = d.withColumn("w", (F.col("did") % 5 + 2).cast("int")).withColumn(
+        "h", (F.col("did") % 3 + 1).cast("int")
+    )
+    le4 = lambda c: F.unhex(  # noqa: E731  u32 little-endian
+        F.concat(*[
+            F.substring(F.lpad(F.hex(c), 8, "0"), j, 2) for j in (7, 5, 3, 1)
+        ])
+    )
+    le2 = lambda c: F.unhex(  # noqa: E731  u16 little-endian
+        F.concat(
+            F.substring(F.lpad(F.hex(c), 4, "0"), 3, 2),
+            F.substring(F.lpad(F.hex(c), 4, "0"), 1, 2),
+        )
+    )
+    stride = (F.floor((F.col("w") * 3 + 3) / 4) * 4).cast("long")
+    header = F.concat(
+        F.lit(b"BM"), le4(F.lit(54) + F.col("h") * stride), le4(F.lit(0)),
+        le4(F.lit(54)), le4(F.lit(40)), le4(F.col("w")), le4(F.col("h")),
+        le2(F.lit(1)), le2(F.lit(24)), le4(F.lit(0)), le4(F.lit(0)),
+        le4(F.lit(0)), le4(F.lit(0)), le4(F.lit(0)), le4(F.lit(0)),
+    )
+    # pixel array: bottom-up rows, BGR per pixel, rows padded to 4 bytes;
+    # channel values are pure doc_id/x/y arithmetic (mirrored in the
+    # oracle as sums — row order cancels in the aggregation)
+    pixels = F.expr(
+        "aggregate(sequence(0, h - 1), cast('' as binary), (acc, y) -> "
+        "concat(acc, "
+        "  aggregate(sequence(0, w - 1), cast('' as binary), (a2, x) -> "
+        "    concat(a2, "
+        "      unhex(lpad(hex((did * 5 + x * 11 + y * 2) % 256), 2, '0')), "
+        "      unhex(lpad(hex((did * 2 + x * 3 + y * 5) % 256), 2, '0')), "
+        "      unhex(lpad(hex((did + x * 7 + y * 13) % 256), 2, '0')))), "
+        "  unhex(repeat('00', cast((4 - (w * 3) % 4) % 4 as int)))))"
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        F.concat(header, pixels).alias("payload"),
+    )
+    return decode_pixel_stats(payloads).select(
+        "url", "n_px", "sum_r", "sum_g", "sum_b",
+        F.round("mean_lum", 6).alias("mean_lum"),
+    )
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs

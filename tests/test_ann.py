@@ -189,3 +189,41 @@ def test_neardup_pairs_recall_vs_brute_force(spark):
     assert got <= brute
     recall = len(got & brute) / len(brute)
     assert recall >= 0.9, f"near-dup recall {recall}"
+
+
+def test_neardup_bucket_cap_bounds_pairs(spark, caplog):
+    """Adversarial single-cluster corpus: every vector lands in one IVF
+    bucket, so the within-bucket self-join is quadratic (C(200,2)=19900
+    pairs per assignment). max_bucket_size must hard-bound the pair work
+    via deterministic hash sub-buckets AND log the split — never a silent
+    cap."""
+    import logging
+
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    n = 200
+    # all vectors ≈ e1 + tiny id-dependent noise in dims 2-4 → one cluster
+    v = F.array(
+        F.lit(1.0),
+        (F.col("id") % 7).cast("double") / 1000.0,
+        (F.col("id") % 11).cast("double") / 1000.0,
+        (F.col("id") % 13).cast("double") / 1000.0,
+    )
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), v.alias("v"))
+
+    capped = None
+    with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.ann"):
+        capped = neardup_pairs(
+            emb, n_centroids=4, threshold=0.9, max_bucket_size=25
+        ).count()
+    assert any("oversized IVF bucket" in r.message for r in caplog.records)
+
+    # ~everything is a near-dup: unbounded within-bucket pairing would
+    # score ≈ C(200,2) ≈ 19900 pairs; 25-row sub-buckets bound it to
+    # ~ceil(400/25) buckets × C(~25,2) ≈ 5k — assert well under half
+    assert 0 < capped < 10000
+
+    # and the cap is a no-op on well-quantized data: dd_embedding_neardup's
+    # path (no max_bucket_size) is unchanged by construction (default None)
+    uncapped = neardup_pairs(emb, n_centroids=4, threshold=0.9).count()
+    assert uncapped > capped  # the cap really dropped straddling pairs

@@ -85,3 +85,56 @@ def test_real_header_parse(spark):
     assert (rows["bmp"]["format"], rows["bmp"]["width"], rows["bmp"]["height"]) == ("bmp", 800, 600)
     assert (rows["jpeg"]["format"], rows["jpeg"]["width"], rows["jpeg"]["height"]) == ("jpeg", 1024, 768)
     assert rows["txt"]["format"] == "unknown"
+
+
+def _mk_bmp(w, h, px):
+    """Build an uncompressed 24-bit BMP; px[y][x] = (r, g, b)."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h):
+        row = b"".join(bytes([b, g, r]) for (r, g, b) in px[y])
+        rows += row + b"\x00" * (stride - w * 3)
+    header = (
+        b"BM" + struct.pack("<I", 54 + h * stride) + b"\x00" * 4
+        + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<i", w) + struct.pack("<i", h)
+        + struct.pack("<H", 1) + struct.pack("<H", 24)
+        + struct.pack("<I", 0) + b"\x00" * 20
+    )
+    return header + rows
+
+
+def test_bmp_pixel_parse_golden():
+    from gossiphs_spark.operators.multimodal import _parse_bmp_pixels
+
+    px = [[(10, 20, 30), (40, 50, 60)], [(1, 2, 3), (200, 100, 255)]]
+    got = _parse_bmp_pixels(_mk_bmp(2, 2, px))
+    assert got == {
+        "n_px": 4,
+        "sum_r": 10 + 40 + 1 + 200,
+        "sum_g": 20 + 50 + 2 + 100,
+        "sum_b": 30 + 60 + 3 + 255,
+    }
+    # width 3 exercises nonzero row padding (stride 12, 3 pad bytes)
+    px3 = [[(i, i, i) for i in (5, 6, 7)]]
+    got3 = _parse_bmp_pixels(_mk_bmp(3, 1, px3))
+    assert got3 == {"n_px": 3, "sum_r": 18, "sum_g": 18, "sum_b": 18}
+
+
+def test_bmp_pixel_parse_rejects_undecodable():
+    from gossiphs_spark.operators.multimodal import _parse_bmp_pixels, _pixel_stats
+
+    good = _mk_bmp(2, 1, [[(1, 1, 1), (2, 2, 2)]])
+    assert _parse_bmp_pixels(good) is not None
+    # 8-bit, compressed, truncated, and non-BMP payloads all decline
+    bad_bits = bytearray(good); bad_bits[28] = 8
+    assert _parse_bmp_pixels(bytes(bad_bits)) is None
+    bad_comp = bytearray(good); bad_comp[30] = 1
+    assert _parse_bmp_pixels(bytes(bad_comp)) is None
+    assert _parse_bmp_pixels(good[:-3]) is None
+    assert _parse_bmp_pixels(b"\x89PNG\r\n\x1a\nxxxx") is None
+    # the kernel-level wrapper degrades to an honest empty row, not a crash
+    assert _pixel_stats(b"not an image")["n_px"] == 0
+    assert _pixel_stats(b"")["mean_lum"] is None
