@@ -128,7 +128,20 @@ def cmd_diff(spark, args):
     old_args.pages = args.old_pages
     g_old = _build(spark, old_args)
     g_new = _build(spark, args)
-    d = snapshot_diff(g_old.related, g_new.related)
+    old_rel, new_rel = g_old.related, g_new.related
+    # change-list scoping (ref src/main.rs:582-603: `diff` restricts to
+    # the git-changed file list): only pages in the list are diffed. The
+    # filter lands BEFORE the full-outer diff join, so the compare is
+    # bounded by the change list, not the corpus.
+    urls = [u for u in (args.urls.split(",") if args.urls else []) if u]
+    if args.changed_list:
+        with open(args.changed_list) as fh:
+            urls += [line.strip() for line in fh if line.strip()]
+    if urls:
+        scope = spark.createDataFrame([(u,) for u in urls], "page string")
+        old_rel = old_rel.join(F.broadcast(scope), "page", "left_semi")
+        new_rel = new_rel.join(F.broadcast(scope), "page", "left_semi")
+    d = snapshot_diff(old_rel, new_rel)
     for r in d.orderBy("state", "page", "other").collect():
         print(json.dumps({"page": r["page"], "other": r["other"], "state": r["state"]}))
 
@@ -168,6 +181,11 @@ def main(argv=None):
 
     s = sub.add_parser("diff")
     s.add_argument("--old-pages", required=True)
+    s.add_argument("--urls", default="",
+                   help="comma-separated page urls to scope the diff to")
+    s.add_argument("--changed-list",
+                   help="file of changed page urls, one per line "
+                        "(analog of the reference's git-diff scoping)")
 
     args = p.parse_args(argv)
 

@@ -6,12 +6,17 @@ Spark is a batch engine, not a serving tier; the production shape is
 build-with-Spark → serve-from-the-materialized-table. This server is
 that shape in miniature: a stdlib ThreadingHTTPServer answering
 
-    GET /relate?url=<page>&top=<k>   → JSON rows (page, other, score)
-    GET /health                      → {"status": "ok", "rows": N}
+    GET /relate?url=<page>&top=<k>       → JSON rows (page, other, score)
+    GET /symbol/relation?name=<s>&top=<k>→ symbol-level edge rows
+                                           (ref src/server.rs:104-131)
+    GET /file/metadata?url=<page>        → the page's metadata row
+                                           (ref src/server.rs:133-164)
+    GET /health                          → {"status": "ok", "rows": N}
 
-over the parquet the pipeline wrote (cli `relate`/`export` output),
+over the parquet the pipeline wrote (cli `relate`/`export` output; the
+symbol routes need the edge / metadata tables passed at construction),
 queried through DuckDB — no Spark session, no JVM, millisecond startup.
-Everything here is read-only; the table is immutable once written
+Everything here is read-only; the tables are immutable once written
 (lineage/commit semantics live in the build path, lineage.py).
 """
 
@@ -29,13 +34,29 @@ class RelatedServer:
     """Serve a related-pages parquet directory (page, other, score)."""
 
     def __init__(self, parquet_glob: str, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, edges_glob: str | None = None,
+                 metadata_glob: str | None = None):
         self._con = duckdb.connect()
         # CREATE VIEW cannot be a prepared statement — escape the path
         safe = parquet_glob.replace("'", "''")
         self._con.execute(
             f"CREATE VIEW related AS SELECT * FROM read_parquet('{safe}')"
         )
+        # optional symbol-level tables (edges: src_url,dst_url,name,weight;
+        # metadata: url + whatever the export carried) — routes that need
+        # an unprovided table answer 503, not 500
+        self._have_edges = edges_glob is not None
+        if self._have_edges:
+            safe_e = edges_glob.replace("'", "''")
+            self._con.execute(
+                f"CREATE VIEW edges AS SELECT * FROM read_parquet('{safe_e}')"
+            )
+        self._have_meta = metadata_glob is not None
+        if self._have_meta:
+            safe_m = metadata_glob.replace("'", "''")
+            self._con.execute(
+                f"CREATE VIEW metadata AS SELECT * FROM read_parquet('{safe_m}')"
+            )
         self._lock = threading.Lock()  # duckdb connections are not MT-safe
         outer = self
 
@@ -83,6 +104,56 @@ class RelatedServer:
                     return self._reply(200, [
                         {"page": p, "other": o, "score": s} for p, o, s in rows
                     ])
+                if u.path == "/symbol/relation":
+                    # ref src/server.rs:104-131: a symbol's edge slice,
+                    # both directions (defining page ← referencing pages)
+                    if not outer._have_edges:
+                        return self._reply(
+                            503, {"error": "no edges table configured"}
+                        )
+                    q = parse_qs(u.query)
+                    name = (q.get("name") or [None])[0]
+                    if not name:
+                        return self._reply(400, {"error": "missing name param"})
+                    try:
+                        top = int((q.get("top") or ["100"])[0])
+                        if top < 0:
+                            raise ValueError
+                        top = min(top, 1_000_000)
+                    except ValueError:
+                        return self._reply(
+                            400, {"error": "top must be a non-negative integer"}
+                        )
+                    with outer._lock:
+                        rows = outer._con.execute(
+                            "SELECT src_url, dst_url, name, weight FROM edges "
+                            "WHERE name = ? "
+                            "ORDER BY weight DESC, src_url, dst_url LIMIT ?",
+                            [name, top],
+                        ).fetchall()
+                    return self._reply(200, [
+                        {"src_url": s, "dst_url": d, "name": n, "weight": w}
+                        for s, d, n, w in rows
+                    ])
+                if u.path == "/file/metadata":
+                    # ref src/server.rs:133-164: the page's metadata row
+                    if not outer._have_meta:
+                        return self._reply(
+                            503, {"error": "no metadata table configured"}
+                        )
+                    q = parse_qs(u.query)
+                    url = (q.get("url") or [None])[0]
+                    if not url:
+                        return self._reply(400, {"error": "missing url param"})
+                    with outer._lock:
+                        cur = outer._con.execute(
+                            "SELECT * FROM metadata WHERE url = ? LIMIT 1", [url]
+                        )
+                        cols = [d[0] for d in cur.description]
+                        row = cur.fetchone()
+                    if row is None:
+                        return self._reply(404, {"error": "unknown url"})
+                    return self._reply(200, dict(zip(cols, row)))
                 return self._reply(404, {"error": "unknown path"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

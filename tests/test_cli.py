@@ -53,8 +53,22 @@ def test_export_and_diff(corpus_dirs, tmp_path):
     r2 = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
                  "diff", "--old-pages", half_dir)
     assert r2.returncode == 0, r2.stderr[-2000:]
-    states = {json.loads(l)["state"] for l in r2.stdout.splitlines() if l.startswith("{")}
+    full = [json.loads(l) for l in r2.stdout.splitlines() if l.startswith("{")]
+    states = {l["state"] for l in full}
     assert "ADDED" in states
+
+    # change-list scoping (ref src/main.rs:582-603): the scoped diff must
+    # equal the full diff restricted to the listed pages
+    scoped_pages = sorted({l["page"] for l in full})[:2]
+    r3 = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                 "diff", "--old-pages", half_dir,
+                 "--urls", ",".join(scoped_pages))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    scoped = [json.loads(l) for l in r3.stdout.splitlines() if l.startswith("{")]
+    expected = [l for l in full if l["page"] in set(scoped_pages)]
+    key = lambda l: (l["state"], l["page"], l["other"])  # noqa: E731
+    assert sorted(scoped, key=key) == sorted(expected, key=key)
+    assert 0 < len(scoped) < len(full)
 
 
 def test_relate_file_max_links_caps_output(corpus_dirs):

@@ -53,3 +53,70 @@ def test_server_stop_before_start_does_not_hang(spark, tmp_path):
     rel.write.parquet(out)
     srv = RelatedServer(f"{out}/*.parquet")
     srv.stop()  # never started — must return, not deadlock
+
+
+def test_server_symbol_and_metadata_routes(spark, tmp_path):
+    """S8 parity increment (ref src/server.rs:104-164): /symbol/relation
+    serves the symbol-level edge slice, /file/metadata the page's
+    metadata row — both over exported parquet, no JVM at serve time."""
+    import urllib.error
+
+    from gossiphs_spark.server import RelatedServer
+
+    rel = spark.createDataFrame(
+        [("a", "b", 3)], "page string, other string, score long"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "Alpha", 5), ("c", "b", "Alpha", 9), ("a", "d", "Beta", 2)],
+        "src_url string, dst_url string, name string, weight long",
+    )
+    meta = spark.createDataFrame(
+        [("a", 2, 7), ("b", 1, 0)], "url string, n_defs long, n_refs long"
+    )
+    rel_dir, e_dir, m_dir = (str(tmp_path / d) for d in ("rel", "edges", "meta"))
+    rel.write.parquet(rel_dir)
+    edges.write.parquet(e_dir)
+    meta.write.parquet(m_dir)
+
+    srv = RelatedServer(
+        f"{rel_dir}/*.parquet", edges_glob=f"{e_dir}/*.parquet",
+        metadata_glob=f"{m_dir}/*.parquet",
+    ).start()
+    try:
+        code, rows = _get(srv.port, "/symbol/relation?name=Alpha")
+        assert code == 200
+        assert [(r["src_url"], r["weight"]) for r in rows] == [("c", 9), ("a", 5)]
+        code, rows = _get(srv.port, "/symbol/relation?name=Alpha&top=1")
+        assert [(r["src_url"], r["weight"]) for r in rows] == [("c", 9)]
+        code, rows = _get(srv.port, "/symbol/relation?name=Nope")
+        assert code == 200 and rows == []
+
+        code, row = _get(srv.port, "/file/metadata?url=a")
+        assert code == 200 and row == {"url": "a", "n_defs": 2, "n_refs": 7}
+        for bad, want in (
+            ("/file/metadata?url=zzz", 404),
+            ("/file/metadata", 400),
+            ("/symbol/relation", 400),
+            ("/symbol/relation?name=A&top=x", 400),
+        ):
+            try:
+                _get(srv.port, bad)
+                assert False, f"{bad} must {want}"
+            except urllib.error.HTTPError as e:
+                assert e.code == want
+    finally:
+        srv.stop()
+
+    # routes without their table answer 503, and /relate still works
+    srv2 = RelatedServer(f"{rel_dir}/*.parquet").start()
+    try:
+        for path in ("/symbol/relation?name=A", "/file/metadata?url=a"):
+            try:
+                _get(srv2.port, path)
+                assert False, f"{path} must 503"
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+        code, rows = _get(srv2.port, "/relate?url=a")
+        assert code == 200 and rows
+    finally:
+        srv2.stop()
