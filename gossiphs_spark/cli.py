@@ -133,11 +133,17 @@ def cmd_diff(spark, args):
     # the git-changed file list): only pages in the list are diffed. The
     # filter lands BEFORE the full-outer diff join, so the compare is
     # bounded by the change list, not the corpus.
+    scoped = bool(args.urls) or bool(args.changed_list)
     urls = [u for u in (args.urls.split(",") if args.urls else []) if u]
     if args.changed_list:
         with open(args.changed_list) as fh:
             urls += [line.strip() for line in fh if line.strip()]
-    if urls:
+    if scoped and not urls:
+        # scoping requested with zero entries (e.g. CI's no-change run
+        # wrote an empty list) = nothing changed = empty diff — NOT
+        # "diff the whole corpus"
+        return
+    if scoped:
         scope = spark.createDataFrame([(u,) for u in urls], "page string")
         old_rel = old_rel.join(F.broadcast(scope), "page", "left_semi")
         new_rel = new_rel.join(F.broadcast(scope), "page", "left_semi")

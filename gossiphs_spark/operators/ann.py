@@ -189,54 +189,62 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
         .filter(F.col("_rn") <= nassign)
         .select("cid", "vec_id", "v")
     )
-    if warn_bucket_frac is not None:
-        sizes = assigned.groupBy("cid").count().agg(
-            F.max("count").alias("mx"), F.sum("count").alias("total")
-        ).collect()[0]
-        if sizes["total"] and sizes["mx"] > warn_bucket_frac * sizes["total"]:
-            import logging
+    capping = max_bucket_size is not None and max_bucket_size > 0
+    if warn_bucket_frac is not None or capping:
+        import logging
 
-            logging.getLogger(__name__).warning(
+        log = logging.getLogger(__name__)
+        # assignment (the crossJoin + window, the expensive stage) now has
+        # extra consumers — cache it so the stats job and both self-join
+        # sides read one materialization. ONE per-bucket aggregation
+        # (≤ nassign × n_centroids rows, driver-safe) feeds both the warn
+        # check and the split table.
+        assigned = assigned.cache()
+        size_rows = assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        total = sum(r["n"] for r in size_rows)
+        mx = max((r["n"] for r in size_rows), default=0)
+        if warn_bucket_frac is not None and total and mx > warn_bucket_frac * total:
+            log.warning(
                 "neardup_pairs: largest IVF bucket holds %d of %d assignments "
                 "(> %.0f%%) — pairwise stage degenerates toward quadratic; "
                 "train centroids (train_iters>0) or raise n_centroids",
-                sizes["mx"], sizes["total"], 100 * warn_bucket_frac,
+                mx, total, 100 * warn_bucket_frac,
             )
-    if max_bucket_size is not None and max_bucket_size > 0:
-        from gossiphs_spark.functions import md5_long
+        if capping:
+            import math
 
-        sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
-        splits = sizes.select(
-            "cid", F.ceil(F.col("n") / max_bucket_size).cast("long").alias("nsplit")
-        )
-        over = sizes.filter(F.col("n") > max_bucket_size).agg(
-            F.count("*").alias("k"), F.max("n").alias("mx"), F.sum("n").alias("tot")
-        ).collect()[0]
-        if over["k"]:
-            import logging
+            from gossiphs_spark.functions import md5_long
 
-            logging.getLogger(__name__).warning(
-                "neardup_pairs: splitting %d oversized IVF bucket(s) "
-                "(largest %d rows > cap %d; %d rows affected) — pairs "
-                "straddling a split are not scored; train centroids "
-                "(train_iters>0) or raise n_centroids to restore recall",
-                over["k"], over["mx"], max_bucket_size, over["tot"],
-            )
-        # splits is one row per bucket (≤ n_centroids) → broadcast;
-        # within an oversized bucket the sub-bucket id is a pure hash of
-        # vec_id, so the split is deterministic and shuffle-free
-        assigned = (
-            assigned.join(F.broadcast(splits), "cid")
-            .withColumn(
-                "cid",
-                F.concat_ws(
-                    "#", F.col("cid").cast("string"),
-                    (md5_long(F.col("vec_id").cast("string")) % F.col("nsplit"))
-                    .cast("string"),
-                ),
-            )
-            .drop("nsplit")
-        )
+            over = [r for r in size_rows if r["n"] > max_bucket_size]
+            if over:
+                log.warning(
+                    "neardup_pairs: splitting %d oversized IVF bucket(s) "
+                    "(largest %d rows > cap %d; %d rows affected) — pairs "
+                    "straddling a split are not scored; train centroids "
+                    "(train_iters>0) or raise n_centroids to restore recall",
+                    len(over), mx, max_bucket_size,
+                    sum(r["n"] for r in over),
+                )
+                # split table is one row per bucket → broadcast; within an
+                # oversized bucket the sub-bucket id is a pure hash of
+                # vec_id, so the split is deterministic and shuffle-free
+                splits = assigned.sparkSession.createDataFrame(
+                    [(r["cid"], math.ceil(r["n"] / max_bucket_size))
+                     for r in size_rows],
+                    "cid long, nsplit long",
+                )
+                assigned = (
+                    assigned.join(F.broadcast(splits), "cid")
+                    .withColumn(
+                        "cid",
+                        F.concat_ws(
+                            "#", F.col("cid").cast("string"),
+                            (md5_long(F.col("vec_id").cast("string"))
+                             % F.col("nsplit")).cast("string"),
+                        ),
+                    )
+                    .drop("nsplit")
+                )
     a = assigned.select(
         "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )

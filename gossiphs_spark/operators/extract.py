@@ -340,7 +340,10 @@ def extract_page_json(url: str, blob: bytes) -> list[tuple]:
 #                                      excluded from the REF scan)
 #   Capitalized tokens in text content → REF
 # --------------------------------------------------------------------------
-_XML_LINK_RE = re.compile(r"<link[^>]*>(.*?)</link>", re.DOTALL | re.IGNORECASE)
+# [^<]* (not lazy DOTALL .*?): a self-closing/unclosed <link> followed by
+# a later real </link> must not swallow the markup in between as one
+# garbage IMPORT (real feeds are routinely malformed)
+_XML_LINK_RE = re.compile(r"<link[^>]*>([^<]*)</link>", re.IGNORECASE)
 _XML_HREF_RE = re.compile(r"""\bhref=(["'])(.*?)\1""", re.IGNORECASE)
 _XML_TAGNAME_RE = re.compile(r"<([A-Za-z_][A-Za-z0-9_.:-]*)")
 

@@ -109,7 +109,10 @@ def idf(defs: DataFrame, total_pages: int) -> DataFrame:
 # defined in 10% of 10^12 pages would emit ~10^22 candidate pairs. The
 # stoplist is tiny (distinct hot names) → broadcast anti-join.
 # ---------------------------------------------------------------------------
-def hub_stoplist(defs: DataFrame, total_pages: int, max_def_ratio: float = 0.1) -> DataFrame:
+def hub_stoplist(defs: DataFrame, total_pages: int, max_def_ratio: float = 1.0) -> DataFrame:
+    # default 1.0 = damping OFF, matching PipelineConfig / the CLI
+    # (reference parity — it declares the knob, never applies it); pass
+    # ~0.1 at web scale
     limit = max(int(total_pages * max_def_ratio), 1)
     return (
         defs.groupBy("name")

@@ -65,12 +65,30 @@ class RelatedServer:
                 pass
 
             def _reply(self, code: int, payload) -> None:
-                body = json.dumps(payload).encode()
+                # default=str: parquet metadata rows can carry timestamps,
+                # dates, decimals or blobs — a TypeError here would escape
+                # do_GET and drop the connection with no HTTP response
+                body = json.dumps(payload, default=str).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _qparam(self, query: dict, name: str) -> str | None:
+                return (query.get(name) or [None])[0]
+
+            def _qtop(self, query: dict, default: str):
+                """Parse &top=: non-negative int, clamped below int64 (a
+                LIMIT past int64 errors inside DuckDB's binder, dropping
+                the connection). Returns (top, None) or (None, error)."""
+                try:
+                    top = int((query.get("top") or [default])[0])
+                    if top < 0:
+                        raise ValueError
+                    return min(top, 1_000_000), None
+                except ValueError:
+                    return None, "top must be a non-negative integer"
 
             def do_GET(self):
                 u = urlparse(self.path)
@@ -81,20 +99,12 @@ class RelatedServer:
                     return self._reply(200, {"status": "ok", "rows": n})
                 if u.path == "/relate":
                     q = parse_qs(u.query)
-                    url = (q.get("url") or [None])[0]
+                    url = self._qparam(q, "url")
                     if not url:
                         return self._reply(400, {"error": "missing url param"})
-                    try:
-                        top = int((q.get("top") or ["10"])[0])
-                        if top < 0:
-                            raise ValueError
-                        # clamp: values past int64 would error inside
-                        # DuckDB's LIMIT binding, dropping the connection
-                        top = min(top, 1_000_000)
-                    except ValueError:
-                        return self._reply(
-                            400, {"error": "top must be a non-negative integer"}
-                        )
+                    top, err = self._qtop(q, "10")
+                    if err:
+                        return self._reply(400, {"error": err})
                     with outer._lock:
                         rows = outer._con.execute(
                             "SELECT page, other, score FROM related "
@@ -112,18 +122,12 @@ class RelatedServer:
                             503, {"error": "no edges table configured"}
                         )
                     q = parse_qs(u.query)
-                    name = (q.get("name") or [None])[0]
+                    name = self._qparam(q, "name")
                     if not name:
                         return self._reply(400, {"error": "missing name param"})
-                    try:
-                        top = int((q.get("top") or ["100"])[0])
-                        if top < 0:
-                            raise ValueError
-                        top = min(top, 1_000_000)
-                    except ValueError:
-                        return self._reply(
-                            400, {"error": "top must be a non-negative integer"}
-                        )
+                    top, err = self._qtop(q, "100")
+                    if err:
+                        return self._reply(400, {"error": err})
                     with outer._lock:
                         rows = outer._con.execute(
                             "SELECT src_url, dst_url, name, weight FROM edges "
@@ -142,7 +146,7 @@ class RelatedServer:
                             503, {"error": "no metadata table configured"}
                         )
                     q = parse_qs(u.query)
-                    url = (q.get("url") or [None])[0]
+                    url = self._qparam(q, "url")
                     if not url:
                         return self._reply(400, {"error": "missing url param"})
                     with outer._lock:

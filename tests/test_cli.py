@@ -70,6 +70,16 @@ def test_export_and_diff(corpus_dirs, tmp_path):
     assert sorted(scoped, key=key) == sorted(expected, key=key)
     assert 0 < len(scoped) < len(full)
 
+    # an EMPTY provided change list means "nothing changed" → empty diff,
+    # never "diff the whole corpus" (regression: falsy-list check)
+    empty_list = tmp_path / "changed.txt"
+    empty_list.write_text("\n")
+    r4 = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                 "diff", "--old-pages", half_dir,
+                 "--changed-list", str(empty_list))
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert not [l for l in r4.stdout.splitlines() if l.startswith("{")]
+
 
 def test_relate_file_max_links_caps_output(corpus_dirs):
     """--file-max-links must cap the related fan-out through the CLI (the

@@ -275,3 +275,21 @@ def test_xml_profile_dispatch_and_sniff():
     assert extract_page_xml("u", b"<rss><title>Ok</titl") == [
         r for r in extract_page_xml("u", b"<rss><title>Ok</titl")
     ]
+
+
+def test_xml_selfclosing_link_does_not_swallow_markup():
+    """Regression: a self-closing/unclosed <link> followed by a later real
+    <link> element must not merge into one garbage IMPORT spanning markup,
+    and must not suppress the REF tokens in between."""
+    from gossiphs_spark.operators.extract import extract_page_xml
+
+    feed = b'<rss><link href="https://a.example/self"/>mid Text<link>https://b.example/x</link></rss>'
+    rows = extract_page_xml("u.xml", feed)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r[1])
+    assert sorted(by_kind["IMPORT"]) == [
+        "https://a.example/self", "https://b.example/x"
+    ]
+    assert by_kind["REF"] == ["Text"]
+    assert all("<" not in n for n in by_kind["IMPORT"])

@@ -120,3 +120,28 @@ def test_server_symbol_and_metadata_routes(spark, tmp_path):
         assert code == 200 and rows
     finally:
         srv2.stop()
+
+
+def test_server_metadata_serializes_nonjson_types(spark, tmp_path):
+    """Regression: metadata rows with timestamp/date columns must come
+    back as JSON (stringified), not a dropped connection."""
+    from datetime import datetime, timezone
+
+    from gossiphs_spark.server import RelatedServer
+
+    rel = spark.createDataFrame([("a", "b", 1)], "page string, other string, score long")
+    meta = spark.createDataFrame(
+        [("a", datetime(2024, 6, 1, tzinfo=timezone.utc), 3)],
+        "url string, warc_ts timestamp, n_defs long",
+    )
+    rel_dir, m_dir = str(tmp_path / "rel"), str(tmp_path / "meta")
+    rel.write.parquet(rel_dir)
+    meta.write.parquet(m_dir)
+    srv = RelatedServer(f"{rel_dir}/*.parquet", metadata_glob=f"{m_dir}/*.parquet").start()
+    try:
+        code, row = _get(srv.port, "/file/metadata?url=a")
+        assert code == 200
+        assert row["url"] == "a" and row["n_defs"] == 3
+        assert row["warc_ts"].startswith("2024-06-01")
+    finally:
+        srv.stop()
