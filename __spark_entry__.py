@@ -73,6 +73,7 @@ _QUERY_NAMES = [
     "dd_minhash_lsh",
     "dd_simhash",
     "u4_canonical_components",
+    "u4_triples_canonical",
     "tq_token_stats",
     "tq_quality",
     "tq_langid",

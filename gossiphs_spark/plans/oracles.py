@@ -762,78 +762,92 @@ pr_r3 AS (
 SELECT node AS page, ROUND(rank, 6) AS pagerank FROM pr_r3
 """
 
-ORACLES["u4_canonical_components"] = """
+def _canon_ctes(p: str, names_cte: str) -> str:
+    """The U4 canonicalization chain (shingles → MinHash banding →
+    blocked candidate pairs → exact-Jaccard verify → recursive min-label
+    closure) over ``names_cte`` (must yield a ``name`` column), prefixed
+    so several instances can coexist. Mirrors canonicalize.canonical_
+    entities at its defaults (16 perms, 4 rows/band, jaccard ≥ 0.6,
+    3-char shingles, 4-char block key)."""
+    return f"""
+{p}norm AS (
+  SELECT name, lower(regexp_replace(name, '[^A-Za-z0-9]', '', 'g')) AS norm
+  FROM {names_cte}
+),
+{p}sh AS (
+  SELECT DISTINCT name, substring(norm, CAST(i AS INT), 3) AS shingle
+  FROM {p}norm,
+       LATERAL (SELECT unnest(range(1, GREATEST(length(norm) - 2, 1) + 1)) AS i)
+  WHERE length(substring(norm, CAST(i AS INT), 3)) > 0
+),
+{p}perms AS (SELECT CAST(unnest(range(16)) AS INT) AS p),
+{p}sig AS (
+  SELECT name, p,
+         MIN(CAST(('0x' || substring(md5(shingle || '#' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
+  FROM {p}sh, {p}perms GROUP BY name, p
+),
+{p}bands AS (
+  SELECT name, CAST(p // 4 AS INT) AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p) AS band_key
+  FROM {p}sig GROUP BY name, CAST(p // 4 AS INT)
+),
+{p}blocked AS (
+  SELECT b.name, b.band, b.band_key,
+         substring(lower(regexp_replace(
+             string_split(b.name, '.')[-1], '[^A-Za-z0-9]', '', 'g')), 1, 4) AS block
+  FROM {p}bands b
+),
+{p}cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM {p}blocked a
+  JOIN {p}blocked b
+    ON a.block = b.block AND a.band = b.band AND a.band_key = b.band_key
+  WHERE a.name < b.name
+),
+{p}sizes AS (SELECT name, COUNT(*) AS n_sh FROM {p}sh GROUP BY name),
+{p}inter AS (
+  SELECT c.name_a, c.name_b, COUNT(*) AS inter
+  FROM {p}cand c
+  JOIN {p}sh sa ON sa.name = c.name_a
+  JOIN {p}sh sb ON sb.name = c.name_b AND sb.shingle = sa.shingle
+  GROUP BY c.name_a, c.name_b
+),
+{p}verified AS (
+  SELECT i.name_a, i.name_b
+  FROM {p}inter i
+  JOIN {p}sizes za ON za.name = i.name_a
+  JOIN {p}sizes zb ON zb.name = i.name_b
+  WHERE i.inter * 1.0 / (za.n_sh + zb.n_sh - i.inter) >= 0.6
+),
+{p}cedges AS (
+  SELECT name_a, name_b FROM {p}verified
+  UNION ALL SELECT name_b, name_a FROM {p}verified
+),
+{p}reach(name, m) AS (
+  SELECT name, name FROM {names_cte}
+  UNION
+  SELECT r.name, e.name_b FROM {p}reach r JOIN {p}cedges e ON e.name_a = r.m
+),
+{p}labels AS (SELECT name, MIN(m) AS label FROM {p}reach GROUP BY name)"""
+
+
+ORACLES["u4_canonical_components"] = (
+    """
 WITH RECURSIVE
 cc_base AS (SELECT DISTINCT p_name AS name FROM part),
 cc_names AS (
   SELECT name FROM cc_base
   UNION SELECT name || 's' FROM cc_base
   UNION SELECT name || 'es' FROM cc_base
-),
-cc_norm AS (
-  SELECT name, lower(regexp_replace(name, '[^A-Za-z0-9]', '', 'g')) AS norm
-  FROM cc_names
-),
-cc_sh AS (
-  SELECT DISTINCT name, substring(norm, CAST(i AS INT), 3) AS shingle
-  FROM cc_norm,
-       LATERAL (SELECT unnest(range(1, GREATEST(length(norm) - 2, 1) + 1)) AS i)
-  WHERE length(substring(norm, CAST(i AS INT), 3)) > 0
-),
-cc_perms AS (SELECT CAST(unnest(range(16)) AS INT) AS p),
-cc_sig AS (
-  SELECT name, p,
-         MIN(CAST(('0x' || substring(md5(shingle || '#' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
-  FROM cc_sh, cc_perms GROUP BY name, p
-),
-cc_bands AS (
-  SELECT name, CAST(p // 4 AS INT) AS band,
-         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p) AS band_key
-  FROM cc_sig GROUP BY name, CAST(p // 4 AS INT)
-),
-cc_blocked AS (
-  SELECT b.name, b.band, b.band_key,
-         substring(lower(regexp_replace(
-             string_split(b.name, '.')[-1], '[^A-Za-z0-9]', '', 'g')), 1, 4) AS block
-  FROM cc_bands b
-),
-cc_cand AS (
-  SELECT DISTINCT a.name AS name_a, b.name AS name_b
-  FROM cc_blocked a
-  JOIN cc_blocked b
-    ON a.block = b.block AND a.band = b.band AND a.band_key = b.band_key
-  WHERE a.name < b.name
-),
-cc_sizes AS (SELECT name, COUNT(*) AS n_sh FROM cc_sh GROUP BY name),
-cc_inter AS (
-  SELECT c.name_a, c.name_b, COUNT(*) AS inter
-  FROM cc_cand c
-  JOIN cc_sh sa ON sa.name = c.name_a
-  JOIN cc_sh sb ON sb.name = c.name_b AND sb.shingle = sa.shingle
-  GROUP BY c.name_a, c.name_b
-),
-cc_verified AS (
-  SELECT i.name_a, i.name_b
-  FROM cc_inter i
-  JOIN cc_sizes za ON za.name = i.name_a
-  JOIN cc_sizes zb ON zb.name = i.name_b
-  WHERE i.inter * 1.0 / (za.n_sh + zb.n_sh - i.inter) >= 0.6
-),
-cc_edges AS (
-  SELECT name_a, name_b FROM cc_verified
-  UNION ALL SELECT name_b, name_a FROM cc_verified
-),
-cc_reach(name, m) AS (
-  SELECT name, name FROM cc_names
-  UNION
-  SELECT r.name, e.name_b FROM cc_reach r JOIN cc_edges e ON e.name_a = r.m
-),
-cc_labels AS (SELECT name, MIN(m) AS label FROM cc_reach GROUP BY name)
+),"""
+    + _canon_ctes("cc_", "cc_names")
+    + """
 SELECT name,
        CAST(('0x' || substring(md5(label), 1, 15)) AS BIGINT) AS entity_id,
        label AS canonical_name
 FROM cc_labels
 """
+)
 
 # kg_build_scored: the COMPOSED scored pipeline (plans/pipeline.build_graph)
 # as one DuckDB CTE chain — the reference's exact-score test
@@ -1137,6 +1151,52 @@ ORACLES["kg_delta_related"] = (
     + _kg_ctes("dr_", pages_sql=_DELTA_PAGES_SQL).lstrip()
     + """
 SELECT page, other, CAST(score AS BIGINT) AS score FROM dr_related
+"""
+)
+
+# u4_triples_canonical: the COMPOSED canonicalize_triples post-stage —
+# triples → canonicalization (chain verified standalone in u4_canonical_
+# components) → subj/obj mapping joins → min-start_byte re-aggregation.
+_U4T_PAGES_SQL = """
+SELECT 'doc://' || CAST(i AS VARCHAR) AS url,
+         'page' || CAST(i AS VARCHAR) || '_title entity'
+         || CAST(i % 12 AS VARCHAR) || ' entity' || CAST(i % 12 AS VARCHAR)
+         || 's entity' || CAST(i % 12 AS VARCHAR) || 'es entity'
+         || CAST((i + 5) % 12 AS VARCHAR) AS content,
+         's' AS source
+  FROM (SELECT CAST(unnest(range(120)) AS BIGINT) AS i)"""
+
+ORACLES["u4_triples_canonical"] = (
+    "WITH RECURSIVE "
+    + _kg_ctes("tc_", pages_sql=_U4T_PAGES_SQL).lstrip()
+    + """,
+tc_heads AS (
+  SELECT url, name AS subj FROM (
+    SELECT url, name, ROW_NUMBER() OVER (PARTITION BY url ORDER BY pos) AS rn
+    FROM tc_mentions
+  ) WHERE rn = 1
+),
+tc_objs AS (
+  SELECT url, name AS obj, MIN(start_byte) AS start_byte
+  FROM tc_mentions WHERE length(name) > 3 GROUP BY url, name
+),
+tc_triples AS (
+  SELECT h.subj, 'mentions' AS pred, o.obj, o.url, o.start_byte
+  FROM tc_objs o JOIN tc_heads h ON o.url = h.url WHERE o.obj <> h.subj
+),
+tc_names AS (
+  SELECT DISTINCT subj AS name FROM tc_triples
+  UNION SELECT DISTINCT obj FROM tc_triples
+),"""
+    + _canon_ctes("tc_", "tc_names")
+    + """
+SELECT COALESCE(ls.label, t.subj) AS subj, t.pred,
+       COALESCE(lo.label, t.obj) AS obj, t.url,
+       CAST(MIN(t.start_byte) AS BIGINT) AS start_byte
+FROM tc_triples t
+LEFT JOIN tc_labels ls ON t.subj = ls.name
+LEFT JOIN tc_labels lo ON t.obj = lo.name
+GROUP BY 1, 2, 3, 4
 """
 )
 

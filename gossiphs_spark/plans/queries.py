@@ -1336,6 +1336,42 @@ def u4_canonical_components(spark, sf_dir):
     return ents.select("name", "entity_id", "canonical_name")
 
 
+def u4_triples_canonical(spark, sf_dir):
+    """The COMPOSED canonicalize_triples post-stage, oracle-verified:
+    triples → blocking + MinHash-LSH + exact-Jaccard verify + connected
+    components (already oracled standalone in u4_canonical_components)
+    → the subj/obj canonical-mapping joins → min-start_byte re-aggregation.
+    The mapping + re-agg slice was the only unverified part of the chain.
+
+    Corpus: 120 range-generated text pages whose tokens carry the u4
+    suffix-variant construction (entity{k}, +s, +es → real 3-clusters),
+    so surface forms genuinely collapse and the re-aggregation merges
+    rows (non-vacuous in both engines by construction)."""
+    from gossiphs_spark.plans.pipeline import canonicalize_triples
+
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k = s(i % 12)
+    pages = spark.range(120).select(
+        F.concat(F.lit("doc://"), s(i)).alias("url"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("page"), s(i), F.lit("_title")),
+            F.concat(F.lit("entity"), k),
+            F.concat(F.lit("entity"), k, F.lit("s")),
+            F.concat(F.lit("entity"), k, F.lit("es")),
+            F.concat(F.lit("entity"), s((i + 5) % 12)),
+        ).alias("content"),
+        F.lit("s").alias("source"),
+    )
+    triples = tm.triples(tm.mentions(pages), 3)
+    out = canonicalize_triples(triples)
+    return out.select(
+        "subj", "pred", "obj", "url",
+        F.col("start_byte").cast("long").alias("start_byte"),
+    )
+
+
 def ann_lsh_buckets(spark, sf_dir):
     emb = _emb_double(spark, sf_dir)
     bucket = F.concat_ws(
