@@ -409,7 +409,69 @@ def extract_page_xml(url: str, blob: bytes) -> list[tuple]:
     return out
 
 
+# --------------------------------------------------------------------------
+# CSV/TSV profile — sixth grammar behind the F1 dispatch (data tables are
+# the remaining common corpus slice after html/md/text/json/xml). Line-
+# oriented, delimiter-sniffed (tab if the header line contains one, else
+# comma), no quoted-cell handling — a regex-grade best-effort like the
+# other profiles (real crawl CSVs are routinely malformed; offsets stay
+# exact because cells are scanned in place, never re-assembled).
+#   header-line cells                  → NAMESPACE (column names)
+#   first cell of the first data row   → DEF (the table's lead entity)
+#   http(s):// cells                   → IMPORT (F12 trailing-punct trim)
+#   Capitalized tokens in data cells   → REF
+# --------------------------------------------------------------------------
+def extract_page_csv(url: str, blob: bytes) -> list[tuple]:
+    """One CSV/TSV page → mention rows. Pure; same output contract as the
+    other profiles."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+
+    def emit(name: str, kind: str, a: int, b: int) -> None:
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, name, kind, a, b, r0, c0, r1, c1))
+
+    delim = None
+    header_done = False
+    def_done = False
+    pos = 0
+    for line in s.split("\n"):
+        if line.strip():
+            if delim is None:
+                delim = "\t" if "\t" in line else ","
+            cell_start = pos
+            is_header = not header_done
+            first_cell = True
+            for cell in line.split(delim):
+                cs = cell.strip()
+                if cs:
+                    a = cell_start + (len(cell) - len(cell.lstrip()))
+                    b = a + len(cs)
+                    if is_header:
+                        emit(cs, "NAMESPACE", a, b)
+                    elif first_cell and not def_done:
+                        emit(cs, "DEF", a, b)
+                        def_done = True
+                    elif cs.startswith(("http://", "https://")):
+                        target = cs.rstrip(".,;:")  # F12 trim
+                        emit(target, "IMPORT", a, a + len(target))
+                    else:
+                        for em in _ENTITY_RE.finditer(cs):
+                            emit(em.group(0), "REF", a + em.start(), a + em.end())
+                first_cell = False
+                cell_start += len(cell) + 1
+            header_done = True
+        pos += len(line) + 1
+    return out
+
+
 _PROFILES = {
+    "csv": extract_page_csv,
+    "tsv": extract_page_csv,
     "md": extract_page_md,
     "markdown": extract_page_md,
     "txt": extract_page_txt,

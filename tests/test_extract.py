@@ -293,3 +293,51 @@ def test_xml_selfclosing_link_does_not_swallow_markup():
     ]
     assert by_kind["REF"] == ["Text"]
     assert all("<" not in n for n in by_kind["IMPORT"])
+
+
+CSV_GOLDEN = (
+    b"name,description,homepage\n"
+    b"Magnetar Prime, the brightest Magnetar on record ,https://example.org/m1.\n"
+    b"quiet row,no caps here,https://example.org/m2\n"
+)
+
+
+def test_csv_profile_golden():
+    from gossiphs_spark.operators.extract import extract_page_csv
+
+    rows = extract_page_csv("doc://13/table.csv", CSV_GOLDEN)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r[1])
+    # header cells are structural column names
+    assert by_kind["NAMESPACE"] == ["name", "description", "homepage"]
+    # first cell of the first data row is the table's lead entity
+    assert by_kind["DEF"] == ["Magnetar Prime"]
+    # url cells → IMPORT, trailing punctuation trimmed (F12 analog)
+    assert sorted(by_kind["IMPORT"]) == [
+        "https://example.org/m1", "https://example.org/m2"
+    ]
+    # capitalized tokens in OTHER data cells only (not the DEF cell)
+    assert by_kind["REF"] == ["Magnetar"]
+    s = CSV_GOLDEN.decode()
+    for r in rows:
+        assert s[r[3]:r[4]] == r[1]  # offsets anchor source bytes exactly
+    assert extract_page_csv("u", CSV_GOLDEN) == extract_page_csv("u", CSV_GOLDEN)
+
+
+def test_csv_profile_tsv_and_dispatch():
+    from gossiphs_spark.operators.extract import extract_page_csv, profile_of
+
+    assert profile_of("a/b.csv") is extract_page_csv
+    assert profile_of("a/b.tsv?v=1") is extract_page_csv
+    tsv = b"col_a\tcol_b\nLead Entity\tsome Cap text\n"
+    rows = extract_page_csv("u.tsv", tsv)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[2], []).append(r[1])
+    assert by_kind["NAMESPACE"] == ["col_a", "col_b"]
+    assert by_kind["DEF"] == ["Lead Entity"]
+    assert by_kind["REF"] == ["Cap"]
+    # degenerate inputs must not throw
+    assert extract_page_csv("u", b"") == []
+    assert extract_page_csv("u", b"justoneheader\n") != None  # noqa: E711
