@@ -1180,11 +1180,15 @@ tc_objs AS (
   SELECT url, name AS obj, MIN(start_byte) AS start_byte
   FROM tc_mentions WHERE length(name) > 3 GROUP BY url, name
 ),
-tc_triples AS (
+tc_triples AS MATERIALIZED (
+  -- MATERIALIZED: tc_triples/tc_names are referenced from the shingle
+  -- chain, the RECURSIVE closure base, AND the final mapping — without
+  -- it DuckDB re-inlines the whole tokenization window chain at every
+  -- reference (measured ~50x slower under memory pressure)
   SELECT h.subj, 'mentions' AS pred, o.obj, o.url, o.start_byte
   FROM tc_objs o JOIN tc_heads h ON o.url = h.url WHERE o.obj <> h.subj
 ),
-tc_names AS (
+tc_names AS MATERIALIZED (
   SELECT DISTINCT subj AS name FROM tc_triples
   UNION SELECT DISTINCT obj FROM tc_triples
 ),"""

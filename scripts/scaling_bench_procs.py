@@ -110,6 +110,11 @@ spark.stop()
 def run_level(n_execs: int, shard_dirs: list[str], workdir: str) -> dict:
     """Launch n_execs single-core executor processes over all shards;
     return wall time of the measured window (GO → last exit) + tps."""
+    if n_execs > TOTAL_CORES:
+        raise ValueError(
+            f"n_execs={n_execs} exceeds the {TOTAL_CORES} cores on this box "
+            "(taskset would fail per-executor after the corpus prep)"
+        )
     per = [shard_dirs[i::n_execs] for i in range(n_execs)]
     go = os.path.join(workdir, f"go_{n_execs}_{time.time_ns()}")
     spinners = [
@@ -119,29 +124,36 @@ def run_level(n_execs: int, shard_dirs: list[str], workdir: str) -> dict:
         )
         for c in range(n_execs, TOTAL_CORES)
     ]
-    procs, readies = [], []
+    procs, readies, outfiles = [], [], []
     try:
         for i in range(n_execs):
             ready = os.path.join(workdir, f"ready_{n_execs}_{i}_{time.time_ns()}")
             readies.append(ready)
+            # per-executor output FILES, not PIPEs: an executor whose JVM
+            # logs >64 KiB during warmup would block on a full unread pipe
+            # before ever writing its ready file, deadlocking the rep
+            outf = os.path.join(workdir, f"out_{n_execs}_{i}_{time.time_ns()}")
+            outfiles.append(outf)
             code = EXECUTOR.format(repo=REPO, shards=per[i], idx=i,
                                    ready=ready, go=go)
-            procs.append(subprocess.Popen(
-                ["taskset", "-c", str(i), sys.executable, "-c", code],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            ))
+            with open(outf, "w") as fh:
+                procs.append(subprocess.Popen(
+                    ["taskset", "-c", str(i), sys.executable, "-c", code],
+                    stdout=fh, stderr=subprocess.STDOUT,
+                ))
         deadline = time.time() + 1800
         while not all(os.path.exists(r) for r in readies):
             if time.time() > deadline:
                 raise RuntimeError("executors never became ready")
-            for p in procs:
+            for p, outf in zip(procs, outfiles):
                 if p.poll() is not None:
                     raise RuntimeError(
-                        f"executor died in warmup: {p.stderr.read()[-2000:]}")
+                        f"executor died in warmup: {open(outf).read()[-2000:]}")
             time.sleep(0.2)
         t0 = time.time()
         open(go, "w").write("g")
-        outs = [p.communicate(timeout=1800) for p in procs]
+        for p in procs:
+            p.wait(timeout=1800)
         wall = time.time() - t0
     finally:
         for p in spinners:
@@ -150,10 +162,11 @@ def run_level(n_execs: int, shard_dirs: list[str], workdir: str) -> dict:
             if p.poll() is None:
                 p.kill()
     total = 0
-    for out, err in outs:
+    for outf in outfiles:
+        out = open(outf).read()
         lines = [l for l in out.splitlines() if l.startswith("EXEC_RESULT ")]
         if not lines:
-            raise RuntimeError(f"executor produced no result: {err[-2000:]}")
+            raise RuntimeError(f"executor produced no result: {out[-2000:]}")
         total += json.loads(lines[0][len("EXEC_RESULT "):])["triples"]
     return {"execs": n_execs, "sec": wall, "triples": total,
             "tps": total / wall}

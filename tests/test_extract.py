@@ -338,6 +338,8 @@ def test_csv_profile_tsv_and_dispatch():
     assert by_kind["NAMESPACE"] == ["col_a", "col_b"]
     assert by_kind["DEF"] == ["Lead Entity"]
     assert by_kind["REF"] == ["Cap"]
-    # degenerate inputs must not throw
+    # degenerate inputs must not throw; a header-only table yields ONLY
+    # its structural namespace cell (no DEF without a data row)
     assert extract_page_csv("u", b"") == []
-    assert extract_page_csv("u", b"justoneheader\n") != None  # noqa: E711
+    header_only = extract_page_csv("u", b"justoneheader\n")
+    assert [(r[1], r[2]) for r in header_only] == [("justoneheader", "NAMESPACE")]
