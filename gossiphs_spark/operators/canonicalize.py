@@ -150,21 +150,20 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("name_a", "name")
         )
+        # the did-it-change flag rides along in the propagation select, so
+        # the convergence check is a count over the already-checkpointed
+        # frame — not a second labels-vs-labels shuffle join per round
         new_labels = (
             labels.join(neigh, "name", "left")
             .select(
                 "name",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "name")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed != 0:
