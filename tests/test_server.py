@@ -145,3 +145,56 @@ def test_server_metadata_serializes_nonjson_types(spark, tmp_path):
         assert row["warc_ts"].startswith("2024-06-01")
     finally:
         srv.stop()
+
+
+def test_multigraph_server_lru(spark, tmp_path):
+    """MCP file_impact analog (ref mcp/gossiphs_mcp/tools.py:5-48): many
+    graphs behind one server, LRU-bounded open handles, eviction reopens
+    transparently."""
+    import urllib.error
+
+    from gossiphs_spark.server import MultiGraphServer
+
+    for gname, score in (("ga", 11), ("gb", 22), ("gc", 33)):
+        rel = spark.createDataFrame(
+            [(f"{gname}-page", "x", score)], "page string, other string, score long"
+        )
+        rel.write.parquet(str(tmp_path / gname / "related"))
+
+    srv = MultiGraphServer(str(tmp_path), max_graphs=2).start()
+    try:
+        code, listing = _get(srv.port, "/graphs")
+        assert code == 200
+        assert listing == {"graphs": ["ga", "gb", "gc"], "loaded": []}
+
+        for gname, score in (("ga", 11), ("gb", 22), ("gc", 33)):
+            code, rows = _get(srv.port, f"/relate?url={gname}-page&graph={gname}")
+            assert code == 200 and rows[0]["score"] == score
+
+        # max_graphs=2: ga was least recently used → evicted
+        code, listing = _get(srv.port, "/graphs")
+        assert listing["loaded"] == ["gb", "gc"]
+        # evicted graph transparently reopens (and evicts gb)
+        code, rows = _get(srv.port, "/relate?url=ga-page&graph=ga")
+        assert code == 200 and rows[0]["score"] == 11
+        code, listing = _get(srv.port, "/graphs")
+        assert listing["loaded"] == ["gc", "ga"]
+
+        # symbol route without an edges table answers 503 per graph
+        try:
+            _get(srv.port, "/symbol/relation?name=x&graph=ga")
+            assert False, "must 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        for bad, want in (
+            ("/relate?url=x", 400),                 # missing graph
+            ("/relate?url=x&graph=nope", 404),      # unknown graph
+            ("/relate?url=x&graph=..", 404),        # traversal rejected
+        ):
+            try:
+                _get(srv.port, bad)
+                assert False, f"{bad} must {want}"
+            except urllib.error.HTTPError as e:
+                assert e.code == want
+    finally:
+        srv.stop()
