@@ -27,10 +27,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Every queries() entry is benched (VERDICT r2 item 10: regressions
-# anywhere in the contract must be visible per-round). kg_build_related
-# and kg_triples_canonical release their build's caches (_detach), so
-# they run LAST; mm_decode_stub is merely rows-only (no cache effects)
-# and tags along to keep the oracle-paired block contiguous.
+# anywhere in the contract must be visible per-round). kg_triples_
+# canonical still clears the whole session cache (_detach — its internal
+# ents cache isn't surfaced for scoped release), so it runs LAST;
+# kg_build_related now releases only its own build's caches
+# (_detach_graph) but keeps its historical tail position so per-query
+# timings stay comparable across rounds; mm_decode_stub is merely
+# rows-only and tags along to keep the oracle-paired block contiguous.
 _RUN_LAST = ("mm_decode_stub", "kg_build_related", "kg_triples_canonical")
 
 
