@@ -39,7 +39,6 @@ _QUERY_NAMES = [
     "f7_pointless_counts",
     "a3_idf",
     "j1_link_exact",
-    "j1_candidate_counts",
     "j2_link_basename",
     "a8_edges",
     "a9_related_pages",
@@ -58,7 +57,6 @@ _QUERY_NAMES = [
     "j5_jaccard_pairs",
     "w1_knee_cutoffs",
     "w6_entropy_zscore",
-    "a13_score_buckets",
     "eval_cutoff_search",
     "a10_file_metadata",
     "a10_metadata_arrays",
@@ -69,7 +67,6 @@ _QUERY_NAMES = [
     # training-data pipeline ops
     "dd_exact_dups",
     "dd_embedding_neardup",
-    "dd_ngram_jaccard",
     "dd_minhash_lsh",
     "dd_simhash",
     "u4_canonical_components",
@@ -84,7 +81,6 @@ _QUERY_NAMES = [
     "tq_bpe_tokens",
     "tq_winnow_fingerprints",
     "ann_cosine_topk",
-    "ann_lsh_buckets",
     "ann_ivf_search",
     "mm_image_dims",
     "mm_pixel_stats",
@@ -95,6 +91,14 @@ _QUERY_NAMES = [
     # incremental splice — oracled as a from-scratch SQL rebuild of the
     # post-delta corpus (splice ≡ rebuild is pinned in tests)
     "kg_delta_related",
+    # narrow per-stage twins whose semantics the composed queries above
+    # subsume — kept oracle-paired (pytest's oracle-parity run covers all of
+    # them), but placed past the driver's 50-query CORRECTNESS window so the
+    # flagship composed queries get recorded driver rows
+    "j1_candidate_counts",
+    "a13_score_buckets",
+    "ann_lsh_buckets",
+    "dd_ngram_jaccard",
     # rows-only (no SQL-expressible oracle; driver records the weaker check)
     "mm_decode_stub",
     "kg_build_related",

@@ -124,15 +124,12 @@ def cmd_triples(spark, args):
 def cmd_diff(spark, args):
     from gossiphs_spark.operators.graphops import snapshot_diff
 
-    old_args = argparse.Namespace(**vars(args))
-    old_args.pages = args.old_pages
-    g_old = _build(spark, old_args)
-    g_new = _build(spark, args)
-    old_rel, new_rel = g_old.related, g_new.related
     # change-list scoping (ref src/main.rs:582-603: `diff` restricts to
     # the git-changed file list): only pages in the list are diffed. The
     # filter lands BEFORE the full-outer diff join, so the compare is
-    # bounded by the change list, not the corpus.
+    # bounded by the change list, not the corpus. Scope parsing runs
+    # BEFORE the two corpus builds so a CI no-change run (empty list) is
+    # near-free and a bad --changed-list path errors immediately.
     scoped = bool(args.urls) or bool(args.changed_list)
     urls = [u for u in (args.urls.split(",") if args.urls else []) if u]
     if args.changed_list:
@@ -143,6 +140,11 @@ def cmd_diff(spark, args):
         # wrote an empty list) = nothing changed = empty diff — NOT
         # "diff the whole corpus"
         return
+    old_args = argparse.Namespace(**vars(args))
+    old_args.pages = args.old_pages
+    g_old = _build(spark, old_args)
+    g_new = _build(spark, args)
+    old_rel, new_rel = g_old.related, g_new.related
     if scoped:
         scope = spark.createDataFrame([(u,) for u in urls], "page string")
         old_rel = old_rel.join(F.broadcast(scope), "page", "left_semi")

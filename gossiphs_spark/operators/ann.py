@@ -251,13 +251,32 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
     b = assigned.select(
         "cid", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
     )
-    return (
+    out = (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cosine("va", "vb"), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+    if warn_bucket_frac is not None or capping:
+        # `assigned` was cached above so the stats job and both self-join
+        # sides read one materialization; expose it on the result for
+        # scoped release (mirrors GraphTables.release_caches) so repeated
+        # calls in a long-lived session don't accumulate storage memory.
+        out._gossiphs_caches = [assigned]  # type: ignore[attr-defined]
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist any frames an ANN operator cached while building ``df``.
+
+    Call after the result is materialized (collected/written); a no-op
+    for plans that never activated a caching path."""
+    for cached in getattr(df, "_gossiphs_caches", ()):
+        try:
+            cached.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
 
 
 def ivf_search(cands: DataFrame, queries: DataFrame, n_centroids: int = 16,

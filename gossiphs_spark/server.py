@@ -61,9 +61,19 @@ class GraphHandle:
                 f"CREATE VIEW metadata AS SELECT * FROM read_parquet('{safe_m}')"
             )
         self.lock = threading.Lock()  # duckdb connections are not MT-safe
+        # MultiGraphServer pin-counting (guarded by ITS catalog lock, not
+        # self.lock): an evicted handle defers close until the last
+        # in-flight request unpins it
+        self.refs = 0
+        self.defunct = False
 
     def close(self) -> None:
-        self.con.close()
+        # taken under self.lock: closing a DuckDB connection while another
+        # thread executes on it can crash the whole process — an in-flight
+        # query (if any slipped past the refcount, e.g. RelatedServer.stop
+        # racing a daemon handler thread) finishes first
+        with self.lock:
+            self.con.close()
 
 
 def _qparam(query: dict, name: str) -> str | None:
@@ -235,6 +245,11 @@ class MultiGraphServer(_HttpFront):
         outer = self
 
         def open_graph(name: str) -> GraphHandle | None:
+            """Returns a PINNED handle (refs incremented under the catalog
+            lock) — the caller MUST unpin() it. Pinning closes the
+            eviction race: an insert that evicts this handle defers the
+            DuckDB close until the last in-flight request drops its pin,
+            so no query ever runs on a closing connection."""
             base = os.path.join(outer._root, name)
             if (
                 os.sep in name or name in ("", ".", "..")
@@ -244,7 +259,9 @@ class MultiGraphServer(_HttpFront):
             with outer._lock:
                 if name in outer._lru:
                     outer._lru.move_to_end(name)
-                    return outer._lru[name]
+                    g = outer._lru[name]
+                    g.refs += 1
+                    return g
             # construct outside the catalog lock (view creation reads
             # parquet footers); only one instance wins the insert race
             edges = os.path.join(base, "edges")
@@ -256,25 +273,50 @@ class MultiGraphServer(_HttpFront):
                 metadata_glob=os.path.join(meta, "*.parquet")
                 if os.path.isdir(meta) else None,
             )
+            evicted = None
             with outer._lock:
                 if name in outer._lru:  # lost the race — keep the winner
-                    built.close()
+                    evicted = built  # never exposed: close below, unpinned
                 else:
                     outer._lru[name] = built
                     if len(outer._lru) > outer._max:
-                        _, evicted = outer._lru.popitem(last=False)
-                        evicted.close()
+                        _, dropped = outer._lru.popitem(last=False)
+                        dropped.defunct = True
+                        if dropped.refs == 0:
+                            evicted = dropped  # idle — close now (below)
+                        # else: last unpin() closes it
                 outer._lru.move_to_end(name)
-                return outer._lru[name]
+                g = outer._lru[name]
+                g.refs += 1
+            if evicted is not None:
+                evicted.close()  # outside the catalog lock — close waits
+                # on the handle's own lock, never blocks other routes
+            return g
+
+        def unpin(g: GraphHandle) -> None:
+            with outer._lock:
+                g.refs -= 1
+                close_now = g.defunct and g.refs == 0
+            if close_now:
+                g.close()
 
         class Handler(_JsonHandler):
             def do_GET(self):
                 u = urlparse(self.path)
                 if u.path == "/graphs":
-                    names = sorted(
-                        d for d in os.listdir(outer._root)
-                        if os.path.isdir(os.path.join(outer._root, d, "related"))
-                    )
+                    try:
+                        names = sorted(
+                            d for d in os.listdir(outer._root)
+                            if os.path.isdir(
+                                os.path.join(outer._root, d, "related")
+                            )
+                        )
+                    except OSError as e:
+                        # missing/unreadable root must be an HTTP error,
+                        # not a dropped connection
+                        return self._reply(
+                            500, {"error": f"graph root unreadable: {e}"}
+                        )
                     with outer._lock:
                         loaded = list(outer._lru)
                     return self._reply(200, {"graphs": names, "loaded": loaded})
@@ -285,7 +327,10 @@ class MultiGraphServer(_HttpFront):
                 g = open_graph(gname)
                 if g is None:
                     return self._reply(404, {"error": f"unknown graph {gname!r}"})
-                return self._reply(*route_graph(g, u.path, q))
+                try:
+                    return self._reply(*route_graph(g, u.path, q))
+                finally:
+                    unpin(g)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -294,9 +339,17 @@ class MultiGraphServer(_HttpFront):
     def stop(self) -> None:
         super().stop()
         with self._lock:
-            for g in self._lru.values():
-                g.close()
+            handles = list(self._lru.values())
             self._lru.clear()
+            idle = []
+            for g in handles:
+                g.defunct = True
+                if g.refs == 0:
+                    idle.append(g)
+        for g in idle:
+            g.close()
+        # pinned handles (daemon handler threads mid-query) close at their
+        # last unpin()
 
 
 def serve(parquet_glob: str, host: str = "127.0.0.1", port: int = 8421):

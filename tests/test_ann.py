@@ -157,12 +157,19 @@ def test_neardup_oversized_bucket_warns(spark, caplog):
     quadratic."""
     import logging
 
-    from gossiphs_spark.operators.ann import neardup_pairs
+    from gossiphs_spark.operators.ann import neardup_pairs, release_caches
 
     emb = _adversarial_emb(spark, n=60)
     with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.ann"):
-        neardup_pairs(emb, n_centroids=1, nassign=1, warn_bucket_frac=0.5).count()
+        pairs = neardup_pairs(emb, n_centroids=1, nassign=1, warn_bucket_frac=0.5)
+        pairs.count()
     assert any("largest IVF bucket" in r.message for r in caplog.records)
+    # the warn path caches the assignment frame — scoped release must
+    # actually unpersist it (ADVICE r4: repeated calls leak storage memory)
+    cached = pairs._gossiphs_caches
+    assert cached and cached[0].storageLevel.useMemory
+    release_caches(pairs)
+    assert not cached[0].storageLevel.useMemory
 
 
 def test_neardup_pairs_recall_vs_brute_force(spark):
@@ -199,7 +206,7 @@ def test_neardup_bucket_cap_bounds_pairs(spark, caplog):
     cap."""
     import logging
 
-    from gossiphs_spark.operators.ann import neardup_pairs
+    from gossiphs_spark.operators.ann import neardup_pairs, release_caches
 
     n = 200
     # all vectors ≈ e1 + tiny id-dependent noise in dims 2-4 → one cluster
@@ -213,9 +220,11 @@ def test_neardup_bucket_cap_bounds_pairs(spark, caplog):
 
     capped = None
     with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.ann"):
-        capped = neardup_pairs(
+        capped_df = neardup_pairs(
             emb, n_centroids=4, threshold=0.9, max_bucket_size=25
-        ).count()
+        )
+        capped = capped_df.count()
+        release_caches(capped_df)
     assert any("oversized IVF bucket" in r.message for r in caplog.records)
 
     # ~everything is a near-dup: unbounded within-bucket pairing would

@@ -198,3 +198,49 @@ def test_multigraph_server_lru(spark, tmp_path):
                 assert e.code == want
     finally:
         srv.stop()
+
+
+def test_multigraph_eviction_race_hammer(spark, tmp_path):
+    """ADVICE r4 (medium): LRU eviction must never close a DuckDB handle
+    while another request is executing on it. With max_graphs=1, every
+    alternating request evicts the other graph's handle — N threads
+    hammering two graphs force constant evict-while-in-flight pressure.
+    Handles are pinned (refcounted) by open_graph, so every request must
+    come back 200 with the right rows; a closed-handle query would 500 /
+    drop the connection (or crash the process outright)."""
+    import threading
+
+    from gossiphs_spark.server import MultiGraphServer
+
+    for gname, score in (("ga", 11), ("gb", 22)):
+        rel = spark.createDataFrame(
+            [(f"{gname}-page", "x", score)], "page string, other string, score long"
+        )
+        rel.write.parquet(str(tmp_path / gname / "related"))
+
+    srv = MultiGraphServer(str(tmp_path), max_graphs=1).start()
+    errors: list[str] = []
+
+    def hammer(tid: int) -> None:
+        for i in range(25):
+            gname, score = ("ga", 11) if (tid + i) % 2 == 0 else ("gb", 22)
+            try:
+                code, rows = _get(srv.port, f"/relate?url={gname}-page&graph={gname}")
+                if code != 200 or rows[0]["score"] != score:
+                    errors.append(f"t{tid} i{i}: code={code} rows={rows}")
+            except Exception as e:  # dropped connection / HTTP error
+                errors.append(f"t{tid} i{i}: {type(e).__name__}: {e}")
+
+    try:
+        threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:5]
+        # every pin was dropped: the surviving handle is idle and alive
+        with srv._lock:
+            assert all(g.refs == 0 and not g.defunct for g in srv._lru.values())
+            assert len(srv._lru) == 1
+    finally:
+        srv.stop()
