@@ -59,7 +59,6 @@ _QUERY_NAMES = [
     "w6_entropy_zscore",
     "eval_cutoff_search",
     "a10_file_metadata",
-    "a10_metadata_arrays",
     "o8_hub_damped_counts",
     "w4_related_filtered",
     # scalar suite (§2.7)
@@ -84,6 +83,7 @@ _QUERY_NAMES = [
     "ann_ivf_search",
     "mm_image_dims",
     "mm_pixel_stats",
+    "mm_png_pixels",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -99,6 +99,7 @@ _QUERY_NAMES = [
     "a13_score_buckets",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
+    "a10_metadata_arrays",
     # rows-only (no SQL-expressible oracle; driver records the weaker check)
     "mm_decode_stub",
     "kg_build_related",

@@ -10,12 +10,14 @@ the metadata a curation pipeline filters on (drop tiny images, bucket by
 aspect ratio) before any pixel work. Pixel decode is REAL for
 uncompressed 24-bit BMP (``_parse_bmp_pixels``: numpy over the raw padded
 pixel array → channel sums / luminance, oracle-verified via
-mm_pixel_stats). Compressed formats (PNG/JPEG pixel data, resizing,
-perceptual hashing, frame sampling) DO need the codec libs absent from
-this container, so unrecognized payloads fall back to a deterministic
-md5-derived STUB and ``phash`` is a content hash stand-in, documented as
-such. Swap the fallback for PIL/ffmpeg on a real cluster without touching
-the plan.
+mm_pixel_stats) AND for non-interlaced 8-bit PNG — the dominant web
+format — via stdlib zlib inflate + per-row unfilter
+(``_parse_png_pixels``, oracle-verified via mm_png_pixels). Formats that
+genuinely need a codec library (JPEG entropy decode, GIF LZW, resizing,
+perceptual hashing, frame sampling) are absent from this container, so
+those payloads fall back to a deterministic md5-derived STUB and
+``phash`` is a content hash stand-in, documented as such. Swap the
+fallback for PIL/ffmpeg on a real cluster without touching the plan.
 """
 
 from __future__ import annotations
@@ -130,11 +132,122 @@ def _parse_bmp_pixels(p: bytes):
     return {"n_px": w * rows, "sum_r": sr, "sum_g": sg, "sum_b": sb}
 
 
+def _paeth_predictor(a: int, b: int, c: int) -> int:
+    """PNG spec §9.4: the Paeth predictor over left/up/up-left bytes."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png_pixels(p: bytes):
+    """REAL pixel decode for non-interlaced 8-bit-depth PNG using ONLY
+    stdlib zlib + numpy — no codec library: walk the chunk stream
+    (CRC-checked), inflate the concatenated IDAT payload, undo the per-row
+    filters (types 0-4: None/Sub/Up/Average/Paeth) against the previous
+    reconstructed scanline, and accumulate channel sums. Color types
+    0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA) are supported; gray
+    maps to r=g=b and alpha never enters the sums. Returns None for
+    palette (needs PLTE indirection), interlaced, 16-bit, or corrupt
+    streams — those still fall through to the documented stub.
+
+    Sub is a per-lane cumsum (vectorized); Average/Paeth have a true
+    sequential left-dependency, so they run as per-byte loops — fine for
+    the web's small-image tail, and the seam to swap in PIL/libpng on a
+    real cluster is this one function."""
+    import zlib
+
+    import numpy as np
+
+    if p[:8] != _PNG_SIG:
+        return None
+    i = 8
+    w = h = None
+    channels = colortype = None
+    idat: list[bytes] = []
+    while i + 12 <= len(p):
+        ln = int.from_bytes(p[i:i + 4], "big")
+        typ = p[i + 4:i + 8]
+        data = p[i + 8:i + 8 + ln]
+        crc = p[i + 8 + ln:i + 12 + ln]
+        if len(data) < ln or len(crc) < 4:
+            return None
+        if zlib.crc32(typ + data) != int.from_bytes(crc, "big"):
+            return None
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype = data[8], data[9]
+            comp, filt, interlace = data[10], data[11], data[12]
+            if bitdepth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+            if channels is None:
+                return None
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    rowlen = w * channels
+    if len(raw) != h * (1 + rowlen):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + rowlen)
+    bpp = channels
+    prev = np.zeros(rowlen, dtype=np.int64)
+    sums = np.zeros(channels, dtype=np.int64)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int64)
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub — additive recurrence per byte lane → cumsum
+            recon = line.copy()
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(recon[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            recon = (line + prev) % 256
+        elif ft == 3:  # Average
+            recon = np.empty(rowlen, dtype=np.int64)
+            for j in range(rowlen):
+                left = recon[j - bpp] if j >= bpp else 0
+                recon[j] = (line[j] + (left + prev[j]) // 2) % 256
+        elif ft == 4:  # Paeth
+            recon = np.empty(rowlen, dtype=np.int64)
+            for j in range(rowlen):
+                a = int(recon[j - bpp]) if j >= bpp else 0
+                c = int(prev[j - bpp]) if j >= bpp else 0
+                recon[j] = (line[j] + _paeth_predictor(a, int(prev[j]), c)) % 256
+        else:
+            return None
+        sums += recon.reshape(w, channels).sum(axis=0)
+        prev = recon
+    if colortype in (0, 4):  # gray(+alpha) → r = g = b
+        s = int(sums[0])
+        return {"n_px": w * h, "sum_r": s, "sum_g": s, "sum_b": s}
+    return {"n_px": w * h, "sum_r": int(sums[0]), "sum_g": int(sums[1]),
+            "sum_b": int(sums[2])}
+
+
 def _pixel_stats(payload: bytes) -> dict:
     if payload is None or len(payload) == 0:
         parsed = None
     else:
-        parsed = _parse_bmp_pixels(bytes(payload))
+        b = bytes(payload)
+        parsed = _parse_bmp_pixels(b)
+        if parsed is None:
+            parsed = _parse_png_pixels(b)
     if parsed is None:
         return {"n_px": 0, "sum_r": 0, "sum_g": 0, "sum_b": 0, "mean_lum": None}
     lum = (
@@ -147,8 +260,9 @@ def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
                        key_col: str = "url") -> DataFrame:
     """df(key, binary) → per-image pixel statistics via the same Arrow-
     batched mapInPandas shape as decode_binary_column. Real for 24-bit
-    uncompressed BMP (numpy over the raw pixel array); other formats
-    yield n_px=0 / NULL mean until codec libs exist."""
+    uncompressed BMP (numpy over the raw pixel array) and non-interlaced
+    8-bit PNG (stdlib zlib + unfilter); JPEG/GIF payloads yield n_px=0 /
+    NULL mean until codec libs exist."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1417,6 +1417,38 @@ SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
 FROM sums
 """
 
+# mm_png_pixels: the PNG decoder walks CRC'd chunks, inflates IDAT and
+# undoes per-row filters; the oracle recomputes the channel sums from the
+# per-pixel arithmetic the builder filtered-and-compressed away (the
+# decoder never sees this form — filters, zlib and chunk framing all
+# cancel only if the inverse transform is exactly right)
+ORACLES["mm_png_pixels"] = """
+WITH mp AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id % 6 + 3 AS BIGINT) AS w,
+         CAST(doc_id % 4 + 2 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT did, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+  FROM mp,
+       LATERAL (SELECT unnest(range(w)) AS x) xs,
+       LATERAL (SELECT unnest(range(h)) AS y) ys
+),
+sums AS (
+  SELECT did, MAX(w * h) AS n_px,
+         CAST(SUM((did * 3 + x * 5 + y * 7) % 256) AS BIGINT) AS sum_r,
+         CAST(SUM((did * 7 + x * 2 + y * 3) % 256) AS BIGINT) AS sum_g,
+         CAST(SUM((did + x * 13 + y * 11) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY did
+)
+SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
+       CAST(n_px AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+       ROUND((CAST(0.299 AS DOUBLE) * sum_r + CAST(0.587 AS DOUBLE) * sum_g
+              + CAST(0.114 AS DOUBLE) * sum_b) / n_px, 6) AS mean_lum
+FROM sums
+"""
+
 ORACLES["tq_source_curation"] = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

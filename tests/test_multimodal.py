@@ -138,3 +138,103 @@ def test_bmp_pixel_parse_rejects_undecodable():
     # the kernel-level wrapper degrades to an honest empty row, not a crash
     assert _pixel_stats(b"not an image")["n_px"] == 0
     assert _pixel_stats(b"")["mean_lum"] is None
+
+
+def _mk_png(w, h, ct, img_rows, filter_types):
+    """Independent forward-filter PNG construction (never shares code with
+    the decoder): img_rows is h lists of w*channels raw byte values."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    prev = [0] * (w * ch)
+    lines = []
+    for y, raw in enumerate(img_rows):
+        ft = filter_types[y]
+        if ft == 0:
+            filt = list(raw)
+        elif ft == 1:
+            filt = [(raw[j] - (raw[j - ch] if j >= ch else 0)) % 256
+                    for j in range(w * ch)]
+        elif ft == 2:
+            filt = [(raw[j] - prev[j]) % 256 for j in range(w * ch)]
+        elif ft == 3:
+            filt = [(raw[j] - ((raw[j - ch] if j >= ch else 0) + prev[j]) // 2)
+                    % 256 for j in range(w * ch)]
+        else:
+            filt = [(raw[j] - paeth(raw[j - ch] if j >= ch else 0, prev[j],
+                                    prev[j - ch] if j >= ch else 0)) % 256
+                    for j in range(w * ch)]
+        lines.append(bytes([ft]) + bytes(filt))
+        prev = list(raw)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ct, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_pixel_parse_all_filters_all_colortypes():
+    """The zlib-inflate + unfilter path must reconstruct exact channel
+    sums for every filter type (0-4) and color type (gray/RGB/gray-alpha/
+    RGBA), against an independently forward-filtered construction."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _parse_png_pixels
+
+    rnd = random.Random(11)
+    for ct in (0, 2, 4, 6):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        w, h = 7, 5
+        img = [[rnd.randrange(256) for _ in range(w * ch)] for _ in range(h)]
+        png = _mk_png(w, h, ct, img, [0, 1, 2, 3, 4])
+        got = _parse_png_pixels(png)
+        pix = [[row[x * ch:(x + 1) * ch] for x in range(w)] for row in img]
+        flat = [p for row in pix for p in row]
+        if ct in (0, 4):
+            s = sum(p[0] for p in flat)
+            want = {"n_px": w * h, "sum_r": s, "sum_g": s, "sum_b": s}
+        else:
+            want = {
+                "n_px": w * h,
+                "sum_r": sum(p[0] for p in flat),
+                "sum_g": sum(p[1] for p in flat),
+                "sum_b": sum(p[2] for p in flat),
+            }
+        assert got == want, f"colortype {ct}"
+
+
+def test_png_pixel_parse_rejects_undecodable():
+    from gossiphs_spark.operators.multimodal import _parse_png_pixels, _pixel_stats
+
+    good = _mk_png(3, 2, 2, [[9] * 9, [7] * 9], [0, 1])
+    assert _parse_png_pixels(good) is not None
+    # corrupt CRC, truncated IDAT, palette, interlace, 16-bit all decline
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0x01  # flip a bit in IHDR data → CRC mismatch
+    assert _parse_png_pixels(bytes(bad_crc)) is None
+    assert _parse_png_pixels(good[:-20]) is None  # cuts into IDAT
+    import zlib
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    for depth, ct, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+            [depth, ct, 0, 0, interlace]
+        )
+        p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b""))
+        assert _parse_png_pixels(p) is None, (depth, ct, interlace)
+    # and the kernel wrapper routes PNG payloads to real stats now
+    stats = _pixel_stats(good)
+    assert stats["n_px"] == 6 and stats["sum_r"] == 9 * 3 + 7 * 3
