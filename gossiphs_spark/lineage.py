@@ -143,6 +143,7 @@ def materialize_triples(
     build_triples=None,
     fail_after: int | None = None,
     sink: TripleSink | None = None,
+    profile_stats: bool = True,
 ) -> list[int]:
     """Extract + commit triples bucket-by-bucket with lineage; resume-safe.
 
@@ -152,6 +153,14 @@ def materialize_triples(
     defaults to the sandbox ParquetRenameSink; pass an Iceberg-backed
     TripleSink in production. Returns the buckets committed by THIS
     invocation.
+
+    ``profile_stats`` records per-grammar-profile page counts in each
+    bucket's lineage record (the reference's per-language dispatch
+    visibility, graph.rs:117-146): an unknown format flooding through a
+    fallback grammar shows up as a ``sniff:*`` spike in the commit log
+    instead of silently skewing the triple counts. The counter kernel
+    reads 256 bytes per page — cheap next to extraction — but it is one
+    extra job per bucket, so it can be switched off.
     """
     if build_triples is None:
         from gossiphs_spark.operators.extract import extract_mentions
@@ -197,15 +206,20 @@ def materialize_triples(
             F.max("warc_ts").alias("wm"),
         ).collect()[0]
 
-        sink.commit(
-            spark, b, tri,
-            {
-                "run_id": run_id,
-                "url_min": stats["url_min"],
-                "url_max": stats["url_max"],
-                "warc_ts_watermark": stats["wm"],
-            },
-        )
+        meta = {
+            "run_id": run_id,
+            "url_min": stats["url_min"],
+            "url_max": stats["url_max"],
+            "warc_ts_watermark": stats["wm"],
+        }
+        if profile_stats:
+            from gossiphs_spark.operators.extract import profile_counts
+
+            meta["profile_counts"] = {
+                r["profile"]: r["n_pages"]
+                for r in profile_counts(subset).collect()
+            }
+        sink.commit(spark, b, tri, meta)
         committed_now.append(b)
         if fail_after is not None and len(committed_now) >= fail_after:
             raise RuntimeError("simulated kill after %d buckets" % fail_after)

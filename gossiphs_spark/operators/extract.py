@@ -469,19 +469,57 @@ def extract_page_csv(url: str, blob: bytes) -> list[tuple]:
     return out
 
 
-_PROFILES = {
+# canonical profile name per extension; any other extension falls back to
+# the html grammar (named so the fallback is countable — see
+# profile_counts)
+_EXT_PROFILE = {
+    "csv": "csv",
+    "tsv": "csv",
+    "md": "md",
+    "markdown": "md",
+    "txt": "text",
+    "text": "text",
+    "json": "json",
+    "jsonld": "json",
+    "xml": "xml",
+    "rss": "xml",
+    "atom": "xml",
+}
+
+_PROFILE_FNS = {
     "csv": extract_page_csv,
-    "tsv": extract_page_csv,
     "md": extract_page_md,
-    "markdown": extract_page_md,
-    "txt": extract_page_txt,
     "text": extract_page_txt,
     "json": extract_page_json,
-    "jsonld": extract_page_json,
     "xml": extract_page_xml,
-    "rss": extract_page_xml,
-    "atom": extract_page_xml,
+    "html": extract_page,
 }
+
+
+def profile_name_of(url: str, blob: bytes | None = None) -> str:
+    """The grammar-profile NAME the dispatch selects for (url, blob) —
+    the single source of truth behind both :func:`profile_of` (which maps
+    it to a kernel) and :func:`profile_counts` (which aggregates it for
+    visibility). Sniffed selections carry a ``sniff:`` prefix so a flood
+    of unknown extensionless content through the text grammar is
+    distinguishable from genuinely .txt-labeled pages."""
+    tail = url.split("?", 1)[0].split("#", 1)[0].rsplit("/", 1)[-1]
+    ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
+    if ext:
+        return _EXT_PROFILE.get(ext, "html")
+    if blob is not None:
+        try:
+            head = blob[:256].decode("utf-8", "ignore").lstrip()
+        except AttributeError:
+            head = ""
+        if head.startswith(("<?xml", "<rss", "<feed")):
+            return "sniff:xml"
+        if head.startswith("<"):
+            return "sniff:html"
+        if head.startswith(("{", "[")):
+            return "sniff:json"
+        return "sniff:text"
+    return "html"
 
 
 def profile_of(url: str, blob: bytes | None = None):
@@ -496,23 +534,39 @@ def profile_of(url: str, blob: bytes | None = None):
     '[' means JSON, anything else gets the plain-text grammar. The sniff
     is a pure function of the first 256 bytes — deterministic per
     (url, blob)."""
-    tail = url.split("?", 1)[0].split("#", 1)[0].rsplit("/", 1)[-1]
-    ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
-    if ext:
-        return _PROFILES.get(ext, extract_page)
-    if blob is not None:
-        try:
-            head = blob[:256].decode("utf-8", "ignore").lstrip()
-        except AttributeError:
-            head = ""
-        if head.startswith(("<?xml", "<rss", "<feed")):
-            return extract_page_xml
-        if head.startswith("<"):
-            return extract_page
-        if head.startswith(("{", "[")):
-            return extract_page_json
-        return extract_page_txt
-    return extract_page
+    name = profile_name_of(url, blob)
+    return _PROFILE_FNS[name.split(":", 1)[-1]]
+
+
+def profile_counts(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (profile, n_pages): how many pages each
+    grammar profile would claim, with sniffed selections kept distinct
+    (``sniff:text`` etc.).
+
+    This is the dispatch-visibility counter the reference gets for free
+    from its per-language rule sets (ref graph.rs:117-146): an unknown
+    binary-ish format silently flowing through the text grammar shows up
+    here as a ``sniff:text`` spike instead of vanishing. The kernel only
+    touches each page's first 256 bytes and combines map-side (one
+    Counter per Arrow batch), so the shuffle is #profiles × #partitions
+    tiny rows — safe to run on every materialization."""
+    import collections
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: collections.Counter = collections.Counter()
+        for pdf in batches:
+            for url, html in zip(pdf["url"], pdf["html"]):
+                counts[profile_name_of(url, html)] += 1
+        yield pd.DataFrame(
+            {"profile": list(counts), "n": list(counts.values())}
+        )
+
+    return (
+        pages.select("url", "html")
+        .mapInPandas(run, "profile string, n long")
+        .groupBy("profile")
+        .agg(F.sum("n").alias("n_pages"))
+    )
 
 
 ALL_MENTION_COLS = (

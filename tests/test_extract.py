@@ -343,3 +343,37 @@ def test_csv_profile_tsv_and_dispatch():
     assert extract_page_csv("u", b"") == []
     header_only = extract_page_csv("u", b"justoneheader\n")
     assert [(r[1], r[2]) for r in header_only] == [("justoneheader", "NAMESPACE")]
+
+
+def test_profile_counts_mixed_fixture(spark):
+    """Dispatch visibility (VERDICT r4 item 6, ref graph.rs:117-146): the
+    per-profile page counters must tally every grammar the dispatch can
+    select, with sniffed selections kept distinct — an unknown format
+    flooding the text grammar is a visible sniff:text spike."""
+    from gossiphs_spark.operators.extract import profile_counts
+
+    rows = [
+        ("http://a/p1.html", b"<html><p>X</p></html>"),
+        ("http://a/p2.htm", b"<html><p>X</p></html>"),   # unknown ext → html
+        ("http://a/n.md", b"# T"),
+        ("http://a/n2.markdown", b"# T"),
+        ("http://a/d.json", b"{}"),
+        ("http://a/f.rss", b"<rss/>"),
+        ("http://a/t.csv", b"a,b"),
+        ("http://a/t2.tsv", b"a\tb"),
+        ("http://a/plain.txt", b"words"),
+        # extensionless → content sniff
+        ("http://a/page", b"<html><p>X</p></html>"),
+        ("http://a/feed", b"<?xml version='1.0'?><rss/>"),
+        ("http://a/api", b'{"k": 1}'),
+        ("http://a/blob", b"\x00\x01binaryish"),
+        ("http://a/readme", b"just words"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["profile"]: r["n_pages"] for r in profile_counts(pages).collect()}
+    assert got == {
+        "html": 2, "md": 2, "json": 1, "xml": 1, "csv": 2, "text": 1,
+        "sniff:html": 1, "sniff:xml": 1, "sniff:json": 1, "sniff:text": 2,
+    }
+    # counters and dispatch share one selector: totals must cover all pages
+    assert sum(got.values()) == len(rows)

@@ -136,3 +136,22 @@ def test_lineage_rows_recorded(spark, tmp_path):
         assert r["triple_count"] > 0
         assert r["url_min"] <= r["url_max"]
         assert r["warc_ts_watermark"]
+
+
+def test_lineage_records_profile_counts(spark, tmp_path):
+    """Each bucket's commit record carries the per-grammar page tally
+    (VERDICT r4 item 6) so format drift is visible in the commit log."""
+    out = str(tmp_path / "linp")
+    pages, _, _ = pages_df(spark, n_pages=20, seed=5)
+    lineage.materialize_triples(spark, pages, out, "run-p", n_buckets=2)
+    import json
+
+    with open(os.path.join(out, lineage.LINEAGE_FILE)) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 2
+    total = 0
+    for r in recs:
+        pc = r["profile_counts"]
+        assert pc and all(n > 0 for n in pc.values())
+        total += sum(pc.values())
+    assert total == 20  # every page counted exactly once across buckets
