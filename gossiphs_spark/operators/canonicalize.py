@@ -122,37 +122,36 @@ def verified_pairs(names: DataFrame, n_perms: int = 16,
     )
 
 
-def canonical_entities(names: DataFrame, n_perms: int = 16,
-                       rows_per_band: int = 4, jaccard_min: float = 0.6,
-                       max_iter: int = 10, shingle_k: int = 3) -> DataFrame:
-    """→ (name, entity_id, canonical_name): connected components of the
-    verified similarity graph; entity_id = min member hash, canonical_name
-    = lexicographically smallest member (deterministic)."""
-    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min, shingle_k)
-    labels = names.select("name").distinct().withColumn("label", F.col("name"))
+def propagate_min_labels(labels: DataFrame, edges: DataFrame,
+                         max_iter: int = 10):
+    """Synchronous min-label propagation to fixpoint over
+    labels(name, label) / DIRECTED edges(name_a, name_b) (pass both
+    directions for an undirected graph). → (labels, n_iters, converged);
+    at the fixpoint each node's label is the minimum label reachable in
+    its component.
 
-    edges = pairs.select("name_a", "name_b").unionByName(
-        pairs.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
-    )
-
-    # min-label propagation to fixpoint (diameter-bounded; components here
-    # are tiny near-dup clusters so few iterations suffice). Each iteration
-    # references `labels` twice, so without lineage truncation the logical
-    # plan doubles per iteration (2^k copies → analyzer OOM by k≈10):
-    # localCheckpoint materializes and cuts the lineage every round.
+    Diameter-bounded; components in the canonicalization use are tiny
+    near-dup clusters so few iterations suffice. Each iteration references
+    `labels` twice, so without lineage truncation the logical plan doubles
+    per iteration (2^k copies → analyzer OOM by k≈10): localCheckpoint
+    materializes and cuts the lineage every round. The did-it-change flag
+    rides along in the propagation select, so the convergence check is a
+    count over the already-checkpointed frame — not a second
+    labels-vs-labels shuffle join per round. The property that the fold
+    preserves the two-join check's semantics (same final labels, same
+    exit iteration) is pinned by hypothesis in tests/test_canonicalize.py.
+    """
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     changed = 0
-    for _ in range(max_iter):
+    it = 0
+    for it in range(1, max_iter + 1):
         neigh = (
             edges.join(labels.withColumnRenamed("name", "name_b"), "name_b")
             .groupBy("name_a")
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("name_a", "name")
         )
-        # the did-it-change flag rides along in the propagation select, so
-        # the convergence check is a count over the already-checkpointed
-        # frame — not a second labels-vs-labels shuffle join per round
         new_labels = (
             labels.join(neigh, "name", "left")
             .select(
@@ -166,15 +165,31 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    if changed != 0:
+    return labels, it, changed == 0
+
+
+def canonical_entities(names: DataFrame, n_perms: int = 16,
+                       rows_per_band: int = 4, jaccard_min: float = 0.6,
+                       max_iter: int = 10, shingle_k: int = 3) -> DataFrame:
+    """→ (name, entity_id, canonical_name): connected components of the
+    verified similarity graph; entity_id = min member hash, canonical_name
+    = lexicographically smallest member (deterministic)."""
+    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min, shingle_k)
+    labels = names.select("name").distinct().withColumn("label", F.col("name"))
+
+    edges = pairs.select("name_a", "name_b").unionByName(
+        pairs.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
+    )
+    labels, _, converged = propagate_min_labels(labels, edges, max_iter)
+    if not converged:
         # no silent caps: a component with diameter > max_iter would keep
         # two canonical names for one cluster — make the truncation visible
         import logging
 
         logging.getLogger(__name__).warning(
             "canonical_entities: label propagation did not converge in %d "
-            "iterations (%d labels still changing); clusters may be split",
-            max_iter, changed,
+            "iterations; clusters may be split",
+            max_iter,
         )
 
     return labels.select(

@@ -104,3 +104,72 @@ def test_nonconvergence_is_visible(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.canonicalize"):
         canonical_entities(names, jaccard_min=0.3, max_iter=1).collect()
     assert any("did not converge" in r.message for r in caplog.records)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _ref_min_propagation(nodes, und_edges, max_iter):
+    """Independent synchronous min-label propagation (pure python): the
+    pre-fold two-join semantics — per round, each node takes
+    min(own label, neighbor labels); exit on the first round with no
+    change. Returns (labels, n_iters, converged)."""
+    adj = {n: set() for n in nodes}
+    for a, b in und_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {n: n for n in nodes}
+    it = 0
+    converged = False
+    for it in range(1, max_iter + 1):
+        new = {
+            n: min([label[n]] + [label[m] for m in adj[n]]) for n in nodes
+        }
+        if new == label:
+            converged = True
+            break
+        label = new
+    return label, it, converged
+
+
+@given(
+    st.integers(2, 9).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                max_size=14,
+            ),
+        )
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_propagation_fold_matches_two_join_semantics(spark, graph):
+    """VERDICT r4 item 9: the convergence-flag fold (the `_chg` ride-along
+    that replaced the labels-vs-labels join) must preserve BOTH the final
+    labels (= true connected-component minimum) AND the exact exit
+    iteration of the synchronous two-join check, on arbitrary small
+    graphs including self-loops, parallel edges, and isolated nodes."""
+    from gossiphs_spark.operators.canonicalize import propagate_min_labels
+
+    n, raw_edges = graph
+    nodes = [f"n{i:02d}" for i in range(n)]
+    und = [(nodes[a], nodes[b]) for a, b in raw_edges]
+
+    labels = spark.createDataFrame(
+        [(x, x) for x in nodes], "name string, label string"
+    )
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und] or [("zz", "zz")],
+        "name_a string, name_b string",
+    )
+    if not und:  # createDataFrame needs rows; a self-loop on a ghost
+        edges = edges.filter("name_a <> 'zz'")
+    got_df, got_iters, got_conv = propagate_min_labels(labels, edges, max_iter=12)
+    got = {r["name"]: r["label"] for r in got_df.collect()}
+
+    want, want_iters, want_conv = _ref_min_propagation(nodes, und, 12)
+    # component-minimum correctness
+    assert got == want
+    # the fold exits on the same iteration as the two-join check
+    assert (got_iters, got_conv) == (want_iters, want_conv)
