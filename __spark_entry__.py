@@ -100,10 +100,13 @@ _QUERY_NAMES = [
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
-    # rows-only (no SQL-expressible oracle; driver records the weaker check)
+    # rows-only (no SQL-expressible oracle; driver records the weaker
+    # check). The sf-corpus composed runs kg_build_related /
+    # kg_triples_canonical left this contract in r5: their composed logic
+    # is hash-verified by the kg_build_scored / u4_triples_canonical
+    # fixture twins, and their corpus-scale wall-times stay tracked as
+    # BENCH-ONLY entries (bench.py _BENCH_ONLY).
     "mm_decode_stub",
-    "kg_build_related",
-    "kg_triples_canonical",
 ]
 
 

@@ -27,20 +27,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Every queries() entry is benched (VERDICT r2 item 10: regressions
-# anywhere in the contract must be visible per-round). kg_triples_
+# anywhere in the contract must be visible per-round), plus the two
+# BENCH-ONLY corpus-scale composed runs (VERDICT r4 item 7: their
+# composed logic is hash-verified by the kg_build_scored /
+# u4_triples_canonical fixture twins, so they left the driver contract —
+# but their sf-corpus wall-times stay tracked here). kg_triples_
 # canonical still clears the whole session cache (_detach — its internal
 # ents cache isn't surfaced for scoped release), so it runs LAST;
-# kg_build_related now releases only its own build's caches
-# (_detach_graph) but keeps its historical tail position so per-query
+# kg_build_related keeps its historical tail position so per-query
 # timings stay comparable across rounds; mm_decode_stub is merely
 # rows-only and tags along to keep the oracle-paired block contiguous.
 _RUN_LAST = ("mm_decode_stub", "kg_build_related", "kg_triples_canonical")
+_BENCH_ONLY = ("kg_build_related", "kg_triples_canonical")
 
 
 def bench_query_names() -> list[str]:
     import __spark_entry__ as entrymod
 
-    names = list(entrymod.queries())
+    names = list(entrymod.queries()) + [
+        n for n in _BENCH_ONLY if n not in entrymod.queries()
+    ]
     return [n for n in names if n not in _RUN_LAST] + [
         n for n in _RUN_LAST if n in names
     ]
@@ -123,11 +129,12 @@ def main() -> None:
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else bench_query_names()
     qs = entrymod.queries()
+    from gossiphs_spark.plans import queries as Q  # bench-only entries
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        fn = qs[name]
+        fn = qs.get(name) or getattr(Q, name)
         t0 = time.time()
         fn(spark, SF_DIR).count()
         dt = time.time() - t0
