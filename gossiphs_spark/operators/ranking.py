@@ -210,6 +210,16 @@ def filter_related(related: DataFrame, group_cols: list[str], score_col: str,
     if file_min_links == 0 and file_max_links == 0:
         return related
     nz = related.filter(F.col(score_col) > 0)
+    # `nz` feeds BOTH the cutoff computation and the ranked join below.
+    # Without a shared partitioning the two branches canonicalize
+    # differently and Catalyst re-derives the entire upstream pipeline
+    # (scans included) once per branch. One explicit hash repartition on
+    # the group columns is a subtree both branches share verbatim — the
+    # second consumer becomes a ReusedExchange — and every downstream op
+    # (the distinct/windows/agg inside group_cutoffs, the rank windows,
+    # the cutoff join) already clusters by these columns, so no further
+    # exchange is ever inserted. Net plan: ONE derivation + ONE shuffle.
+    nz = nz.repartition(*group_cols)
     cutoffs = group_cutoffs(nz, group_cols, score_col, def_limit=1 << 30)
     w = Window.partitionBy(*group_cols).orderBy(F.desc(score_col), F.asc(order_col))
     ranked = nz.join(cutoffs.select(*group_cols, "cutoff"), group_cols).withColumn(
