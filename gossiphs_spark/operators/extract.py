@@ -469,6 +469,117 @@ def extract_page_csv(url: str, blob: bytes) -> list[tuple]:
     return out
 
 
+# --------------------------------------------------------------------------
+# YAML / INI-TOML profiles — seventh and eighth grammars behind the F1
+# dispatch (config-ish text: front-matter, manifests, dotfiles published
+# on the web; the reference's rule table spans 14 per-language sets,
+# src/rule.rs:42-252). Same line-scanned shape as the CSV profile:
+#   top-level keys / [section] headers   → NAMESPACE (structural names)
+#   first title:/name: (title=/name=) value → DEF (the page entity)
+#   http(s) values                        → IMPORT (F12 trailing trim)
+#   Capitalized tokens in other values    → REF
+# --------------------------------------------------------------------------
+_YAML_KEY_RE = re.compile(r"^(\s*)([A-Za-z_][A-Za-z0-9_.-]*):\s?(.*)$")
+_YAML_ITEM_RE = re.compile(r"^\s*-\s+(.*)$")
+_INI_SECTION_RE = re.compile(r"^\s*\[([A-Za-z_][A-Za-z0-9_.:-]*)\]")
+_INI_PAIR_RE = re.compile(r"^(\s*)([A-Za-z_][A-Za-z0-9_.-]*)\s*=\s*(.*)$")
+_KV_DEF_KEYS = ("title", "name")
+
+
+def _emit_kv_value(out, url, s, key, val, vstart, def_done):
+    """Shared DEF/IMPORT/REF routing for one key's scalar value (YAML and
+    INI agree on it). Returns whether a DEF has now been emitted."""
+
+    def emit(name, kind, a, b):
+        r0, c0 = _row_col(s, a)
+        r1, c1 = _row_col(s, b)
+        out.append((url, name, kind, a, b, r0, c0, r1, c1))
+
+    v = val.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        vstart += 1
+        v = v[1:-1].strip()  # F12 quote trim
+    if not v:
+        return def_done
+    if not def_done and key in _KV_DEF_KEYS:
+        emit(v, "DEF", vstart, vstart + len(v))
+        return True
+    if v.startswith(("http://", "https://")):
+        target = v.rstrip(".,;:")  # F12 trailing-punct trim
+        emit(target, "IMPORT", vstart, vstart + len(target))
+        return def_done
+    for em in _ENTITY_RE.finditer(v):
+        emit(em.group(0), "REF", vstart + em.start(), vstart + em.end())
+    return def_done
+
+
+def extract_page_yaml(url: str, blob: bytes) -> list[tuple]:
+    """One YAML page → mention rows. Pure; same output contract as the
+    other profiles. Top-level (indent-0) keys are NAMESPACE rows; nested
+    keys and list items contribute only their values."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+    def_done = False
+    pos = 0
+    for line in s.split("\n"):
+        km = _YAML_KEY_RE.match(line)
+        if km:
+            indent, key, val = km.group(1), km.group(2), km.group(3)
+            if not indent and line.strip() != "---":
+                a = pos + km.start(2)
+                r0, c0 = _row_col(s, a)
+                r1, c1 = _row_col(s, a + len(key))
+                out.append((url, key, "NAMESPACE", a, a + len(key),
+                            r0, c0, r1, c1))
+            vstart = pos + km.start(3) + (len(val) - len(val.lstrip()))
+            def_done = _emit_kv_value(out, url, s, key, val, vstart, def_done)
+        else:
+            im = _YAML_ITEM_RE.match(line)
+            if im:
+                vstart = pos + im.start(1)
+                def_done = _emit_kv_value(
+                    out, url, s, "", im.group(1), vstart, def_done
+                )
+        pos += len(line) + 1
+    return out
+
+
+def extract_page_ini(url: str, blob: bytes) -> list[tuple]:
+    """One INI/TOML page → mention rows. Pure; same output contract as
+    the other profiles. ``[section]`` headers (dotted TOML tables too)
+    are NAMESPACE rows; ``;``/``#`` comment lines are skipped."""
+    try:
+        s = blob.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return []
+    out: list[tuple] = []
+    def_done = False
+    pos = 0
+    for line in s.split("\n"):
+        stripped = line.lstrip()
+        if stripped.startswith((";", "#")):
+            pos += len(line) + 1
+            continue
+        sm = _INI_SECTION_RE.match(line)
+        if sm:
+            a = pos + sm.start(1)
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, sm.end(1) + pos)
+            out.append((url, sm.group(1), "NAMESPACE", a, pos + sm.end(1),
+                        r0, c0, r1, c1))
+        else:
+            pm = _INI_PAIR_RE.match(line)
+            if pm:
+                key, val = pm.group(2), pm.group(3)
+                vstart = pos + pm.start(3)
+                def_done = _emit_kv_value(out, url, s, key, val, vstart, def_done)
+        pos += len(line) + 1
+    return out
+
+
 # canonical profile name per extension; any other extension falls back to
 # the html grammar (named so the fallback is countable — see
 # profile_counts)
@@ -484,6 +595,12 @@ _EXT_PROFILE = {
     "xml": "xml",
     "rss": "xml",
     "atom": "xml",
+    "yml": "yaml",
+    "yaml": "yaml",
+    "ini": "ini",
+    "toml": "ini",
+    "cfg": "ini",
+    "conf": "ini",
 }
 
 _PROFILE_FNS = {
@@ -492,6 +609,8 @@ _PROFILE_FNS = {
     "text": extract_page_txt,
     "json": extract_page_json,
     "xml": extract_page_xml,
+    "yaml": extract_page_yaml,
+    "ini": extract_page_ini,
     "html": extract_page,
 }
 

@@ -169,11 +169,13 @@ mixrefs AS (
   GROUP BY doc_id
 )
 SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) ||
-         CASE WHEN d.doc_id % 5 = 0 THEN '/page.html'
-              WHEN d.doc_id % 5 = 1 THEN '/page.md'
-              WHEN d.doc_id % 5 = 2 THEN '/page'
-              WHEN d.doc_id % 5 = 3 THEN '/page.json'
-              ELSE '/feed.xml' END AS url,
+         CASE WHEN d.doc_id % 7 = 0 THEN '/page.html'
+              WHEN d.doc_id % 7 = 1 THEN '/page.md'
+              WHEN d.doc_id % 7 = 2 THEN '/page'
+              WHEN d.doc_id % 7 = 3 THEN '/page.json'
+              WHEN d.doc_id % 7 = 4 THEN '/feed.xml'
+              WHEN d.doc_id % 7 = 5 THEN '/page.yaml'
+              ELSE '/page.toml' END AS url,
        CAST(1 AS BIGINT) AS n_defs,
        CAST(COALESCE(r.n_refs, 0) AS BIGINT) AS n_refs,
        CAST(1 AS BIGINT) AS n_imports,

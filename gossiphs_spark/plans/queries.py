@@ -111,12 +111,13 @@ def u1_md_mentions(spark, sf_dir):
 
 
 def u1_mixed_profiles(spark, sf_dir):
-    """Five grammars through ONE extraction run (F1 dispatch): documents
-    render to html (doc_id%5==0), markdown (%5==1), plain text with an
-    EXTENSIONLESS url (%5==2 — exercising the content sniff), JSON
-    (%5==3), or XML/RSS (%5==4), all with the same deterministic body;
-    the per-page kind counts are profile-invariant by construction, so
-    the oracle recomputes them once."""
+    """Seven grammars through ONE extraction run (F1 dispatch): documents
+    render to html (doc_id%7==0), markdown (%7==1), plain text with an
+    EXTENSIONLESS url (%7==2 — exercising the content sniff), JSON
+    (%7==3), XML/RSS (%7==4), YAML (%7==5), or INI/TOML (%7==6), all
+    with the same deterministic body; the per-page kind counts are
+    profile-invariant by construction, so the oracle recomputes them
+    once."""
     from gossiphs_spark.operators.extract import extract_mentions
 
     d = load_table(spark, sf_dir, "documents")
@@ -128,13 +129,15 @@ def u1_mixed_profiles(spark, sf_dir):
     body = F.array_join(toks, " ")
     did = F.col("doc_id").cast("string")
     nid = ((F.col("doc_id") + 1) % n).cast("string")
-    mode = F.col("doc_id") % 5
+    mode = F.col("doc_id") % 7
     url = (
         F.when(mode == 0, F.concat(F.lit("doc://"), did, F.lit("/page.html")))
         .when(mode == 1, F.concat(F.lit("doc://"), did, F.lit("/page.md")))
         .when(mode == 2, F.concat(F.lit("doc://"), did, F.lit("/page")))
         .when(mode == 3, F.concat(F.lit("doc://"), did, F.lit("/page.json")))
-        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/feed.xml")))
+        .when(mode == 4, F.concat(F.lit("doc://"), did, F.lit("/feed.xml")))
+        .when(mode == 5, F.concat(F.lit("doc://"), did, F.lit("/page.yaml")))
+        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/page.toml")))
     )
     content = (
         F.when(mode == 0, F.concat(
@@ -153,11 +156,19 @@ def u1_mixed_profiles(spark, sf_dir):
             F.lit('{"title": "Doc'), did, F.lit('", "body": "'), body,
             F.lit('", "link": "https://ex.com/'), nid, F.lit('"}'),
         ))
-        .otherwise(F.concat(
+        .when(mode == 4, F.concat(
             F.lit('<?xml version="1.0"?><rss><channel><title>Doc'), did,
             F.lit("</title><description>"), body,
             F.lit("</description><link>https://ex.com/"), nid,
             F.lit("</link></channel></rss>"),
+        ))
+        .when(mode == 5, F.concat(
+            F.lit("title: Doc"), did, F.lit("\nbody: "), body,
+            F.lit("\nlink: https://ex.com/"), nid,
+        ))
+        .otherwise(F.concat(
+            F.lit("[page]\ntitle = Doc"), did, F.lit("\nbody = "), body,
+            F.lit("\nlink = https://ex.com/"), nid,
         ))
     )
     pages = d.select(url.alias("url"), F.encode(content, "utf-8").alias("html"))

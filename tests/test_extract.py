@@ -377,3 +377,85 @@ def test_profile_counts_mixed_fixture(spark):
     }
     # counters and dispatch share one selector: totals must cover all pages
     assert sum(got.values()) == len(rows)
+
+
+def test_yaml_profile_golden():
+    """Seventh grammar (F1 dispatch breadth, ref rule.rs:42-252): YAML —
+    top-level keys NAMESPACE, first title:/name: DEF, url values IMPORT
+    (quote + trailing-punct trim), entities in other values REF; nested
+    list items contribute values only. Offsets are byte-exact."""
+    from gossiphs_spark.operators.extract import extract_page_yaml
+
+    y = (b"---\n"
+         b"title: Doc7\n"
+         b"tags:\n"
+         b"  - Pulsar signal\n"
+         b"  - quiet\n"
+         b"body: the Quasar flared near Sol.Albedo today\n"
+         b'link: "https://ex.com/8"\n')
+    rows = extract_page_yaml("u://x.yaml", y)
+    got = {(r[1], r[2], r[3], r[4]) for r in rows}
+    assert got == {
+        ("title", "NAMESPACE", 4, 9),
+        ("Doc7", "DEF", 11, 15),
+        ("tags", "NAMESPACE", 16, 20),
+        ("Pulsar", "REF", 26, 32),
+        ("body", "NAMESPACE", 50, 54),
+        ("Quasar", "REF", 60, 66),
+        ("Sol.Albedo", "REF", 79, 89),
+        ("link", "NAMESPACE", 96, 100),
+        ("https://ex.com/8", "IMPORT", 103, 119),
+    }
+    # byte-offset identity: every (start, end) slices the name out of the blob
+    s = y.decode()
+    for _, name, kind, a, b, *_ in rows:
+        assert s[a:b] == name, (name, kind)
+    # only the FIRST title/name wins DEF; later ones scan as values
+    rows2 = extract_page_yaml("u", b"name: Alpha\ntitle: Beta\n")
+    kinds = [(r[1], r[2]) for r in rows2]
+    assert ("Alpha", "DEF") in kinds and ("Beta", "REF") in kinds
+    # non-utf8 declines
+    assert extract_page_yaml("u", b"\xff\xfe\x00") == []
+
+
+def test_ini_profile_golden():
+    """Eighth grammar: INI/TOML — [section] headers NAMESPACE (dotted
+    tables too), comments skipped, key=value routed like YAML."""
+    from gossiphs_spark.operators.extract import extract_page_ini
+
+    i = (b"; a comment\n"
+         b"[site.meta]\n"
+         b"title = Doc9\n"
+         b"body = saw the Magnetar again\n"
+         b"link = https://ex.com/10.\n")
+    rows = extract_page_ini("u://x.ini", i)
+    got = {(r[1], r[2], r[3], r[4]) for r in rows}
+    assert got == {
+        ("site.meta", "NAMESPACE", 13, 22),
+        ("Doc9", "DEF", 32, 36),
+        ("Magnetar", "REF", 52, 60),
+        ("https://ex.com/10", "IMPORT", 74, 91),  # trailing '.' trimmed
+    }
+    s = i.decode()
+    for _, name, kind, a, b, *_ in rows:
+        assert s[a:b] == name or (kind == "IMPORT" and s[a:b + 1].startswith(name))
+    # '#' comments (TOML style) skipped too; hashes inside values kept
+    rows2 = extract_page_ini("u", b"# top\nkey = Nebula # not a comment\n")
+    assert ("Nebula", "REF") in {(r[1], r[2]) for r in rows2}
+
+
+def test_yaml_ini_dispatch():
+    from gossiphs_spark.operators.extract import (
+        extract_page_ini, extract_page_yaml, profile_name_of, profile_of,
+    )
+
+    for url, want_fn, want_name in (
+        ("u://a.yml", extract_page_yaml, "yaml"),
+        ("u://a.yaml?v=2", extract_page_yaml, "yaml"),
+        ("u://a.toml", extract_page_ini, "ini"),
+        ("u://a.ini", extract_page_ini, "ini"),
+        ("u://a.cfg#frag", extract_page_ini, "ini"),
+        ("u://a.conf", extract_page_ini, "ini"),
+    ):
+        assert profile_of(url) is want_fn, url
+        assert profile_name_of(url) == want_name, url
