@@ -176,66 +176,13 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE.md — measured scaling evidence
-
-Generated {datetime.now(timezone.utc).isoformat()} by scripts/scaling_bench.py.
-North rule: identical job at N and 4N parallelism on the same input;
-efficiency = (throughput_4N / throughput_N) / 4, target >= 0.8.
-
-Sandbox stand-in for N vs 4N executors: fresh subprocess per level,
-``taskset``-pinned to {n_low} / {n_high} of the 32 physical cores (pinning
-bounds the Python UDF workers too — without it local[N] silently uses ~2N
-cores). Both levels read the SAME pre-generated parquet corpus; the
-measured pass is the second execution (steady state, post-JIT). During
-each level, register-spin loads occupy every core the job does not use,
-so the total active-core count — and with it clock boost / hypervisor
-steal — is identical at both levels (without this control the low level
-runs ~30% faster per core and the ratio understates true scaling).
-
-**Measured job: triples materialization** (pages → Arrow-batched
-extraction → (subj, pred, obj) triples), the BASELINE.json "triples/sec"
-metric and the compute that dominates a 100 TB run. Pages are Common-
-Crawl-weight (~13 KB html).
-
-Each level ran {n_reps}×, interleaved (L,H,L,H,…); the criterion uses the
-median tps per level (single-shot ratios swing ±10-15 % on this box).
-
-| parallelism | median wall sec | triples | tps per rep | median tps |
-|---|---|---|---|---|
-| {n_low} cpus | {low['sec']:.2f} | {low['triples']} | {", ".join(f"{r['tps']:.0f}" for r in runs_low)} | {low['tps']:.1f} |
-| {n_high} cpus | {high['sec']:.2f} | {high['triples']} | {", ".join(f"{r['tps']:.0f}" for r in runs_high)} | {high['tps']:.1f} |
-
-**Scaling efficiency (median-of-{n_reps}): {eff:.3f}** (target ≥ 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
-
-Run-to-run variance note: single-shot controlled ratios measured 0.809
-(r2) and 1.032 (r3) on this box — per-JVM fixed costs (GC threads, JIT
-maintenance, the Python worker pool) weigh relatively more on the low
-level and residual hypervisor steal is not fully equalized by the spin
-control, so individual ratios can land mildly above or below 1.0. The
-median across interleaved reps is the stable, honest number: efficiency
-≈ 1.0 within measurement noise, comfortably ≥ 0.8.
-
-Corpus: {n_pages} deterministic synthetic pages (datagen seed=7,
-body_scale=8 ≈ 13 KB html each).
-
-Note on the scored-graph query phase (linking → Jaccard scoring → knee
-pruning → rollup): at sandbox data volumes its ~40-stage critical path is
-per-stage-overhead-bound and does not exhibit meaningful core scaling;
-its absolute cost is tracked per-round in BENCH_r{{N}}.json via bench.py.
-
-Transparency — measurements at other operating points (same job):
-| pinned cpus | corpus | steady-state sec | tps | note |
-|---|---|---|---|---|
-| 2 vs 8, NO equal-load control (r2) | 500k pages | 342.4 → 130.9 | 115.7k → 302.6k | eff 0.654 — the 2-core level alone on an otherwise idle box ran ~31% faster per core than under equal total load (clock boost / hypervisor-steal asymmetry), deflating the ratio; r1 measured 0.879 in the same uncontrolled setup when the box happened to be busier. The controlled number above is the honest one: both levels at identical active-core count. |
-| 8 vs 32 | 250k pages | 17.6 → 9.2 (extract leg) | — | eff ≈ 0.48: single-JVM shared-runtime costs (GC threads, allocation churn from ~20M rows crossing the Arrow boundary) burn extra CPU at high thread counts; utilization sampling shows all 32 cores busy during compute, i.e. the plan itself has no serial stage — a local-mode artifact a multi-executor cluster does not share (each executor runs few cores with its own heap) |
-| 8 vs 32 | 1.5M pages | 435 → 400 (full job) | 273k → 297k | memory-pressure regime: 20 GB cached corpus + 12 GB shuffle in one 64 GB heap; both levels degrade to the same spill/GC floor |
-
-The {n_low}→{n_high} configuration keeps both levels in the compute-bound
-regime that mirrors per-executor conditions on a real cluster (a
-1000-executor job runs few cores per executor against its own heap),
-which is why it is the reported criterion measurement.
-""")
+    # BASELINE.md is an AUTHORED document (it reports BOTH harnesses and
+    # the round trend); this harness only records its raw summary —
+    # clobbering the authored file with a single-mode template is how a
+    # stale "comfortably >= 0.8" paragraph once shipped next to a 0.557
+    # measurement.
+    with open(os.path.join(REPO, "BENCH", "threads_summary.json"), "w") as f:
+        json.dump({"mode": "shared-jvm-threads", **summary}, f, indent=1)
 
 
 if __name__ == "__main__":
