@@ -200,6 +200,10 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
         # (≤ nassign × n_centroids rows, driver-safe) feeds both the warn
         # check and the split table.
         assigned = assigned.cache()
+        # keep a handle on the frame that was ACTUALLY cached — the cap
+        # path below rebinds `assigned` to a derived (uncached) split
+        # frame, and release_caches must unpersist the cached base
+        cached_assigned = assigned
         size_rows = assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
         total = sum(r["n"] for r in size_rows)
         mx = max((r["n"] for r in size_rows), default=0)
@@ -259,11 +263,12 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
         .distinct()
     )
     if warn_bucket_frac is not None or capping:
-        # `assigned` was cached above so the stats job and both self-join
-        # sides read one materialization; expose it on the result for
-        # scoped release (mirrors GraphTables.release_caches) so repeated
-        # calls in a long-lived session don't accumulate storage memory.
-        out._gossiphs_caches = [assigned]  # type: ignore[attr-defined]
+        # the assignment was cached above so the stats job and both
+        # self-join sides read one materialization; expose the CACHED
+        # frame on the result for scoped release (mirrors
+        # GraphTables.release_caches) so repeated calls in a long-lived
+        # session don't accumulate storage memory.
+        out._gossiphs_caches = [cached_assigned]  # type: ignore[attr-defined]
     return out
 
 

@@ -165,7 +165,10 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame,
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels, it, changed == 0
+    # max_iter < 1 runs no propagation round — convergence is UNKNOWN,
+    # not established (matches the synchronous reference semantics the
+    # hypothesis test encodes)
+    return labels, it, changed == 0 and max_iter >= 1
 
 
 def canonical_entities(names: DataFrame, n_perms: int = 16,

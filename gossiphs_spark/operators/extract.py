@@ -497,8 +497,11 @@ def _emit_kv_value(out, url, s, key, val, vstart, def_done):
 
     v = val.strip()
     if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
-        vstart += 1
-        v = v[1:-1].strip()  # F12 quote trim
+        inner = v[1:-1]
+        # advance past the quote AND any inner padding so (start, end)
+        # still slices the emitted name out of the blob byte-exactly
+        vstart += 1 + (len(inner) - len(inner.lstrip()))
+        v = inner.strip()  # F12 quote trim
     if not v:
         return def_done
     if not def_done and key in _KV_DEF_KEYS:
@@ -665,23 +668,27 @@ def profile_counts(pages: DataFrame) -> DataFrame:
     This is the dispatch-visibility counter the reference gets for free
     from its per-language rule sets (ref graph.rs:117-146): an unknown
     binary-ish format silently flowing through the text grammar shows up
-    here as a ``sniff:text`` spike instead of vanishing. The kernel only
-    touches each page's first 256 bytes and combines map-side (one
-    Counter per Arrow batch), so the shuffle is #profiles × #partitions
-    tiny rows — safe to run on every materialization."""
+    here as a ``sniff:text`` spike instead of vanishing. The sniff needs
+    only each page's first 256 bytes, so the blob is TRUNCATED before
+    the Arrow boundary (shipping whole multi-KB pages into Python just
+    to sniff heads would be a second full-corpus transfer per run);
+    counts combine map-side (one Counter per Arrow batch), so the
+    shuffle is #profiles × #partitions tiny rows — safe to run on every
+    materialization. At true 100 TB scale, fold the counter into the
+    extraction job itself to also save the second parquet read."""
     import collections
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: collections.Counter = collections.Counter()
         for pdf in batches:
-            for url, html in zip(pdf["url"], pdf["html"]):
-                counts[profile_name_of(url, html)] += 1
+            for url, head in zip(pdf["url"], pdf["head"]):
+                counts[profile_name_of(url, head)] += 1
         yield pd.DataFrame(
             {"profile": list(counts), "n": list(counts.values())}
         )
 
     return (
-        pages.select("url", "html")
+        pages.select("url", F.substring("html", 1, 256).alias("head"))
         .mapInPandas(run, "profile string, n long")
         .groupBy("profile")
         .agg(F.sum("n").alias("n_pages"))

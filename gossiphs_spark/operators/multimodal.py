@@ -157,11 +157,18 @@ def _parse_png_pixels(p: bytes):
     Sub is a per-lane cumsum (vectorized); Average/Paeth have a true
     sequential left-dependency, so they run as per-byte loops — fine for
     the web's small-image tail, and the seam to swap in PIL/libpng on a
-    real cluster is this one function."""
+    real cluster is this one function.
+
+    Untrusted-corpus bounds: declared dimensions are checked against
+    ``max_px`` BEFORE any inflate (a crafted IHDR must not drive a
+    multi-GB zlib.decompress), and the inflate itself is capped at the
+    exact expected scanline volume via decompressobj — a deflate bomb
+    yields None, never an allocation."""
     import zlib
 
     import numpy as np
 
+    max_px = 16_000_000  # ~16 MP: covers web images; beyond it → stub path
     if p[:8] != _PNG_SIG:
         return None
     i = 8
@@ -194,14 +201,18 @@ def _parse_png_pixels(p: bytes):
         elif typ == b"IEND":
             break
         i += 12 + ln
-    if w is None or not idat or w <= 0 or h <= 0:
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if w is None or not idat or w <= 0 or h <= 0 or w * h > max_px:
         return None
     rowlen = w * channels
-    if len(raw) != h * (1 + rowlen):
+    expected = h * (1 + rowlen)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        if d.unconsumed_tail or d.decompress(b"", 1):
+            return None  # stream inflates past the declared dimensions
+    except zlib.error:
+        return None
+    if len(raw) != expected:
         return None
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + rowlen)
     bpp = channels

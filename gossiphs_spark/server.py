@@ -242,6 +242,7 @@ class MultiGraphServer(_HttpFront):
         self._max = max(1, max_graphs)
         self._lru: "OrderedDict[str, GraphHandle]" = OrderedDict()
         self._lock = threading.Lock()
+        self._stopping = False
         outer = self
 
         def open_graph(name: str) -> GraphHandle | None:
@@ -275,6 +276,13 @@ class MultiGraphServer(_HttpFront):
             )
             evicted = None
             with outer._lock:
+                if outer._stopping:
+                    # stop() already drained the catalog — inserting now
+                    # would leak an open handle nothing ever closes. Serve
+                    # this one request off-catalog and close at unpin.
+                    built.defunct = True
+                    built.refs += 1
+                    return built
                 if name in outer._lru:  # lost the race — keep the winner
                     evicted = built  # never exposed: close below, unpinned
                 else:
@@ -339,6 +347,7 @@ class MultiGraphServer(_HttpFront):
     def stop(self) -> None:
         super().stop()
         with self._lock:
+            self._stopping = True
             handles = list(self._lru.values())
             self._lru.clear()
             idle = []

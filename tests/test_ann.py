@@ -224,7 +224,14 @@ def test_neardup_bucket_cap_bounds_pairs(spark, caplog):
             emb, n_centroids=4, threshold=0.9, max_bucket_size=25
         )
         capped = capped_df.count()
+        # the cap path REBINDS `assigned` to the split frame before the
+        # result is built — release must still unpersist the frame that
+        # was actually cached (regression: releasing the uncached split
+        # frame leaked the cached base forever)
+        cap_cached = capped_df._gossiphs_caches
+        assert cap_cached and cap_cached[0].storageLevel.useMemory
         release_caches(capped_df)
+        assert not cap_cached[0].storageLevel.useMemory
     assert any("oversized IVF bucket" in r.message for r in caplog.records)
 
     # ~everything is a near-dup: unbounded within-bucket pairing would
