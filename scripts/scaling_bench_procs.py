@@ -176,10 +176,53 @@ def median_run(runs: list[dict]) -> dict:
     return sorted(runs, key=lambda r: r["tps"])[len(runs) // 2]
 
 
+POOL_PATH = os.path.join(REPO, "BENCH", "procs_runs_r06.json")
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def _flush_pool(window: str, rep_pair: dict) -> dict:
+    """Append one interleaved (low, high) rep pair to the round pool and
+    recompute the pooled per-pair median — the r6 pre-registered
+    criterion. Flushed after EVERY pair so a killed window loses at most
+    the in-flight pair."""
+    pool = {"windows": {}}
+    if os.path.exists(POOL_PATH):
+        with open(POOL_PATH) as f:
+            pool = json.load(f)
+    w = pool["windows"].setdefault(
+        window, {"sha": _git_sha(), "reps": [],
+                 "started": datetime.now(timezone.utc).isoformat()})
+    w["reps"].append(rep_pair)
+    pair_effs = sorted(
+        r["pair_eff"] for ww in pool["windows"].values() for r in ww["reps"])
+    n = len(pair_effs)
+    med = (pair_effs[n // 2] if n % 2 else
+           (pair_effs[n // 2 - 1] + pair_effs[n // 2]) / 2.0)
+    pool["pooled"] = {
+        "n_pairs": n,
+        "pair_effs": [round(e, 3) for e in pair_effs],
+        "per_pair_median_eff": round(med, 3),
+        "target": 0.8, "meets_target": med >= 0.8,
+    }
+    with open(POOL_PATH, "w") as f:
+        json.dump(pool, f, indent=1)
+    return pool["pooled"]
+
+
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 250_000
     n_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    window = sys.argv[4] if len(sys.argv) > 4 else "A"
     n_high = n_low * 4
     root = os.path.join(tempfile.gettempdir(),
                         f"scaling_shards_{n_pages}_{n_high}")
@@ -205,6 +248,13 @@ def main() -> None:
         print(f"rep {rep + 1}/{n_reps} low:  {runs_low[-1]}", flush=True)
         runs_high.append(run_level(n_high, shard_dirs, workdir))
         print(f"rep {rep + 1}/{n_reps} high: {runs_high[-1]}", flush=True)
+        lo, hi = runs_low[-1], runs_high[-1]
+        pooled = _flush_pool(window, {
+            "low_tps": round(lo["tps"], 1), "high_tps": round(hi["tps"], 1),
+            "low_sec": round(lo["sec"], 1), "high_sec": round(hi["sec"], 1),
+            "pair_eff": round((hi["tps"] / lo["tps"]) / 4.0, 4),
+        })
+        print(f"pooled so far: {pooled}", flush=True)
 
     low, high = median_run(runs_low), median_run(runs_high)
     eff = (high["tps"] / low["tps"]) / 4.0
