@@ -27,11 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Every queries() entry is benched (VERDICT r2 item 10: regressions
-# anywhere in the contract must be visible per-round), plus the two
-# BENCH-ONLY corpus-scale composed runs (VERDICT r4 item 7: their
-# composed logic is hash-verified by the kg_build_scored /
-# u4_triples_canonical fixture twins, so they left the driver contract —
-# but their sf-corpus wall-times stay tracked here). kg_triples_
+# anywhere in the contract must be visible per-round). The two
+# corpus-scale composed runs kg_build_related / kg_triples_canonical
+# rejoined the driver contract as rows-only entries in r6 (r5 ADVICE),
+# so _BENCH_ONLY is now a no-op safety net that only fires if they ever
+# leave it again. kg_triples_
 # canonical still clears the whole session cache (_detach — its internal
 # ents cache isn't surfaced for scoped release), so it runs LAST;
 # kg_build_related keeps its historical tail position so per-query

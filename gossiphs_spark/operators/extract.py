@@ -484,6 +484,30 @@ _YAML_ITEM_RE = re.compile(r"^\s*-\s+(.*)$")
 _INI_SECTION_RE = re.compile(r"^\s*\[([A-Za-z_][A-Za-z0-9_.:-]*)\]")
 _INI_PAIR_RE = re.compile(r"^(\s*)([A-Za-z_][A-Za-z0-9_.-]*)\s*=\s*(.*)$")
 _KV_DEF_KEYS = ("title", "name")
+_YAML_BLOCK_INTROS = ("|", ">", "|-", "|+", ">-", ">+")
+
+
+def _strip_inline_comment(val: str, markers: tuple[str, ...]) -> str:
+    """Cut a trailing inline comment (`` # note`` / `` ; note``) off a
+    config value before routing it, so comment prose never emits
+    REF/IMPORT mentions (r5 ADVICE). A marker inside a leading quoted
+    span is literal, not a comment — the scan starts after the closing
+    quote."""
+    vs = val.lstrip()
+    if vs.startswith(tuple(m.strip() for m in markers)):
+        return ""  # the whole value is a comment (``key: # note``)
+    search_from = 0
+    if vs[:1] in ("'", '"'):
+        openq = val.find(vs[0])
+        close = val.find(vs[0], openq + 1)
+        if close != -1:
+            search_from = close + 1
+    cut = len(val)
+    for m in markers:
+        i = val.find(m, search_from)
+        if i != -1 and i < cut:
+            cut = i
+    return val[:cut]
 
 
 def _emit_kv_value(out, url, s, key, val, vstart, def_done):
@@ -519,7 +543,10 @@ def _emit_kv_value(out, url, s, key, val, vstart, def_done):
 def extract_page_yaml(url: str, blob: bytes) -> list[tuple]:
     """One YAML page → mention rows. Pure; same output contract as the
     other profiles. Top-level (indent-0) keys are NAMESPACE rows; nested
-    keys and list items contribute only their values."""
+    keys and list items contribute only their values. Inline `` #``
+    comments are stripped before routing, and lines inside block scalars
+    (``key: |`` / ``key: >``) are literal content, not keys — neither
+    emits mentions (r5 ADVICE)."""
     try:
         s = blob.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):
@@ -527,7 +554,16 @@ def extract_page_yaml(url: str, blob: bytes) -> list[tuple]:
     out: list[tuple] = []
     def_done = False
     pos = 0
+    block_indent = None  # inside a |/> block scalar: skip deeper lines
     for line in s.split("\n"):
+        if block_indent is not None:
+            if not line.strip():
+                pos += len(line) + 1
+                continue
+            if len(line) - len(line.lstrip()) > block_indent:
+                pos += len(line) + 1
+                continue
+            block_indent = None
         km = _YAML_KEY_RE.match(line)
         if km:
             indent, key, val = km.group(1), km.group(2), km.group(3)
@@ -537,14 +573,20 @@ def extract_page_yaml(url: str, blob: bytes) -> list[tuple]:
                 r1, c1 = _row_col(s, a + len(key))
                 out.append((url, key, "NAMESPACE", a, a + len(key),
                             r0, c0, r1, c1))
-            vstart = pos + km.start(3) + (len(val) - len(val.lstrip()))
-            def_done = _emit_kv_value(out, url, s, key, val, vstart, def_done)
+            val = _strip_inline_comment(val, (" #",))
+            if val.strip() in _YAML_BLOCK_INTROS:
+                block_indent = len(indent)
+            else:
+                vstart = pos + km.start(3) + (len(val) - len(val.lstrip()))
+                def_done = _emit_kv_value(
+                    out, url, s, key, val, vstart, def_done)
         else:
             im = _YAML_ITEM_RE.match(line)
             if im:
+                val = _strip_inline_comment(im.group(1), (" #",))
                 vstart = pos + im.start(1)
                 def_done = _emit_kv_value(
-                    out, url, s, "", im.group(1), vstart, def_done
+                    out, url, s, "", val, vstart, def_done
                 )
         pos += len(line) + 1
     return out
@@ -553,7 +595,9 @@ def extract_page_yaml(url: str, blob: bytes) -> list[tuple]:
 def extract_page_ini(url: str, blob: bytes) -> list[tuple]:
     """One INI/TOML page → mention rows. Pure; same output contract as
     the other profiles. ``[section]`` headers (dotted TOML tables too)
-    are NAMESPACE rows; ``;``/``#`` comment lines are skipped."""
+    are NAMESPACE rows; ``;``/``#`` comment lines are skipped, and
+    inline `` ; note`` / `` # note`` value comments are stripped before
+    routing (quote-guarded — r5 ADVICE)."""
     try:
         s = blob.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):
@@ -576,7 +620,8 @@ def extract_page_ini(url: str, blob: bytes) -> list[tuple]:
         else:
             pm = _INI_PAIR_RE.match(line)
             if pm:
-                key, val = pm.group(2), pm.group(3)
+                key = pm.group(2)
+                val = _strip_inline_comment(pm.group(3), (" ;", " #"))
                 vstart = pos + pm.start(3)
                 def_done = _emit_kv_value(out, url, s, key, val, vstart, def_done)
         pos += len(line) + 1
@@ -630,10 +675,16 @@ def profile_name_of(url: str, blob: bytes | None = None) -> str:
     if ext:
         return _EXT_PROFILE.get(ext, "html")
     if blob is not None:
-        try:
-            head = blob[:256].decode("utf-8", "ignore").lstrip()
-        except AttributeError:
-            head = ""
+        # the page column may surface as str (string-typed corpora) or
+        # any bytes-like (binary parquet, Arrow buffers) — both must
+        # sniff for real, not silently tally as sniff:text (r5 ADVICE)
+        if isinstance(blob, str):
+            head = blob[:256].lstrip()
+        else:
+            try:
+                head = bytes(blob[:256]).decode("utf-8", "ignore").lstrip()
+            except (TypeError, ValueError):
+                head = ""
         if head.startswith(("<?xml", "<rss", "<feed")):
             return "sniff:xml"
         if head.startswith("<"):

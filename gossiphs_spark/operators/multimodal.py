@@ -10,12 +10,14 @@ the metadata a curation pipeline filters on (drop tiny images, bucket by
 aspect ratio) before any pixel work. Pixel decode is REAL for
 uncompressed 24-bit BMP (``_parse_bmp_pixels``: numpy over the raw padded
 pixel array → channel sums / luminance, oracle-verified via
-mm_pixel_stats) AND for non-interlaced 8-bit PNG — the dominant web
-format — via stdlib zlib inflate + per-row unfilter
-(``_parse_png_pixels``, oracle-verified via mm_png_pixels). Formats that
-genuinely need a codec library (JPEG entropy decode, GIF LZW, resizing,
-perceptual hashing, frame sampling) are absent from this container, so
-those payloads fall back to a deterministic md5-derived STUB and
+mm_pixel_stats), for 8-bit PNG — gray/RGB/palette/alpha, sequential or
+Adam7-interlaced — via stdlib zlib inflate + vectorized unfilter
+(``_parse_png_pixels``, oracle-verified via mm_png_pixels), and for GIF
+via a pure-Python LZW decoder (``_parse_gif_pixels``, oracle-verified
+via mm_gif_pixels). Only JPEG genuinely needs a codec library (entropy
+decode; deliberately descoped — see COVERAGE.md multimodal row for the
+PIL swap seam), as do resizing, perceptual hashing, and video frame
+sampling; those fall back to a deterministic md5-derived STUB and
 ``phash`` is a content hash stand-in, documented as such. Swap the
 fallback for PIL/ffmpeg on a real cluster without touching the plan.
 """
@@ -143,27 +145,200 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
     return c
 
 
+def _unfilter_scalar_row(line, prev, bpp: int, ft: int):
+    """One Average/Paeth row via a tuned pure-Python loop over plain
+    lists (no per-element numpy scalar extraction, predictor inlined).
+    Used only for SHORT filter-3/4 runs where the wavefront's per-
+    diagonal numpy overhead would exceed the loop; its total work is
+    bounded by the caller's scalar-pixel budget."""
+    rowlen = len(line)
+    x = line.tolist()
+    pr = prev.tolist()
+    rec = [0] * rowlen
+    if ft == 3:  # Average
+        for j in range(bpp):
+            rec[j] = (x[j] + pr[j] // 2) & 255
+        for j in range(bpp, rowlen):
+            rec[j] = (x[j] + (rec[j - bpp] + pr[j]) // 2) & 255
+    else:  # Paeth
+        for j in range(bpp):
+            rec[j] = (x[j] + pr[j]) & 255  # a=c=0 → predictor = b
+        for j in range(bpp, rowlen):
+            a = rec[j - bpp]
+            b = pr[j]
+            c = pr[j - bpp]
+            p = a + b - c
+            pa = p - a
+            if pa < 0:
+                pa = -pa
+            pb = p - b
+            if pb < 0:
+                pb = -pb
+            pc = p - c
+            if pc < 0:
+                pc = -pc
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            rec[j] = (x[j] + pred) & 255
+    import numpy as np
+
+    return np.asarray(rec, dtype=np.int64)
+
+
+# Below this many consecutive filter-3/4 rows the anti-diagonal wavefront's
+# per-diagonal numpy dispatch overhead exceeds the tuned scalar loop.
+_WAVEFRONT_MIN_RUN = 8
+
+# Per-image cap on pixels reconstructed through the SCALAR Average/Paeth
+# path (short runs the wavefront can't amortize). An adversarial corpus
+# of large images alternating row filters 2,4,2,4,… would otherwise keep
+# every row on the interpreter loop — this bounds that CPU at ~1-2 s per
+# image worst case; beyond it the image falls to the documented stub.
+_SCALAR_PX_BUDGET = 4_000_000
+
+
+def _unfilter_wavefront(run, fts, prev, w: int, bpp: int):
+    """Vectorized unfilter for a run of R consecutive Average/Paeth rows.
+
+    Both filters depend on left (y, x-1), up (y-1, x) and up-left
+    (y-1, x-1) — all strictly inside the previous two anti-diagonals
+    d-1 / d-2 of d = x + y. So the image run is swept along R + w - 1
+    anti-diagonals, each one a fully vectorized numpy update over up to
+    min(R, w) pixels × bpp channels: per-image Python iterations drop
+    from h·w·channels to ~(R + w), which is what bounds CPU on large
+    Paeth-heavy images from an untrusted corpus.
+
+    `run`: (R, w·bpp) int64 filtered bytes; `fts`: (R,) filter types in
+    {3, 4}; `prev`: (w·bpp,) reconstructed row above the run (zeros at
+    image top). Returns (R, w·bpp) reconstructed rows.
+    """
+    import numpy as np
+
+    R = run.shape[0]
+    X = run.reshape(R, w, bpp)
+    # Padded workspace: row 0 = prev row shifted so col 0 is the
+    # "pixel -1" (zeros); rows 1..R col 0 = zeros (left of first pixel).
+    Wk = np.zeros((R + 1, w + 1, bpp), dtype=np.int64)
+    Wk[0, 1:] = prev.reshape(w, bpp)
+    is_avg = (fts == 3)
+    ys_all = np.arange(R)
+    for d in range(R + w - 1):
+        lo = max(0, d - w + 1)
+        hi = min(R - 1, d)
+        ys = ys_all[lo:hi + 1]
+        xs = d - ys
+        left = Wk[ys + 1, xs]
+        up = Wk[ys, xs + 1]
+        upleft = Wk[ys, xs]
+        x_in = X[ys, xs]
+        p = left + up - upleft
+        pa = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc = np.abs(p - upleft)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        avg = (left + up) >> 1
+        pred = np.where(is_avg[ys, None], avg, paeth)
+        Wk[ys + 1, xs + 1] = (x_in + pred) & 255
+    return Wk[1:, 1:].reshape(R, w * bpp)
+
+
+def _unfilter_pass(arr, h: int, w: int, bpp: int, budget: list):
+    """Unfilter one PNG pass: `arr` is (h, 1 + w·bpp) uint8 raw scanlines
+    (leading filter byte per row). Returns (h, w·bpp) int64 reconstructed
+    rows, or None on an invalid filter type / exhausted scalar budget.
+
+    Filter types 0/2 are whole-row vectorized and 1 (Sub) is a per-lane
+    cumsum; maximal runs of 3/4 (Average/Paeth) of ≥ _WAVEFRONT_MIN_RUN
+    rows go through the anti-diagonal wavefront; shorter runs use the
+    tuned scalar loop, drawing down `budget[0]` pixels — the CPU bound
+    for adversarial inputs that alternate filters to defeat the
+    wavefront (ADVICE r5: memory was bounded, CPU was not)."""
+    import numpy as np
+
+    rowlen = w * bpp
+    recon = np.zeros((h, rowlen), dtype=np.int64)
+    prev = np.zeros(rowlen, dtype=np.int64)
+    y = 0
+    while y < h:
+        ft = int(arr[y, 0])
+        if ft in (0, 1, 2):
+            line = arr[y, 1:].astype(np.int64)
+            if ft == 0:
+                r = line
+            elif ft == 1:  # Sub — additive recurrence per byte lane → cumsum
+                r = line.copy()
+                for lane in range(bpp):
+                    r[lane::bpp] = np.cumsum(r[lane::bpp]) % 256
+            else:  # Up
+                r = (line + prev) % 256
+            recon[y] = r
+            prev = r
+            y += 1
+        elif ft in (3, 4):
+            y2 = y
+            while y2 < h and int(arr[y2, 0]) in (3, 4):
+                y2 += 1
+            R = y2 - y
+            if R >= _WAVEFRONT_MIN_RUN:
+                rec = _unfilter_wavefront(
+                    arr[y:y2, 1:].astype(np.int64),
+                    arr[y:y2, 0].astype(np.int64), prev, w, bpp)
+                recon[y:y2] = rec
+                prev = recon[y2 - 1]
+            else:
+                budget[0] -= R * w
+                if budget[0] < 0:
+                    return None
+                for yy in range(y, y2):
+                    prev = _unfilter_scalar_row(
+                        arr[yy, 1:].astype(np.int64), prev, bpp,
+                        int(arr[yy, 0]))
+                    recon[yy] = prev
+            y = y2
+        else:
+            return None
+    return recon
+
+
+# Adam7 interlace passes: (row_start, col_start, row_step, col_step).
+_ADAM7 = (
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+)
+
+
 def _parse_png_pixels(p: bytes):
-    """REAL pixel decode for non-interlaced 8-bit-depth PNG using ONLY
-    stdlib zlib + numpy — no codec library: walk the chunk stream
-    (CRC-checked), inflate the concatenated IDAT payload, undo the per-row
-    filters (types 0-4: None/Sub/Up/Average/Paeth) against the previous
-    reconstructed scanline, and accumulate channel sums. Color types
-    0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA) are supported; gray
-    maps to r=g=b and alpha never enters the sums. Returns None for
-    palette (needs PLTE indirection), interlaced, 16-bit, or corrupt
-    streams — those still fall through to the documented stub.
+    """REAL pixel decode for 8-bit-depth PNG using ONLY stdlib zlib +
+    numpy — no codec library: walk the chunk stream (CRC-checked),
+    inflate the concatenated IDAT payload, undo the per-row filters
+    (types 0-4) against the previous reconstructed scanline, and
+    accumulate channel sums. Color types 0 (gray), 2 (RGB), 3 (palette
+    via PLTE indirection), 4 (gray+alpha) and 6 (RGBA) are supported,
+    both sequential and Adam7-interlaced (each of the seven sub-images
+    is unfiltered independently; channel sums are position-independent,
+    so no de-interlace reassembly is needed). Gray maps to r=g=b and
+    alpha never enters the sums. Returns None for 16-bit or corrupt
+    streams — those fall through to the documented stub.
 
-    Sub is a per-lane cumsum (vectorized); Average/Paeth have a true
-    sequential left-dependency, so they run as per-byte loops — fine for
-    the web's small-image tail, and the seam to swap in PIL/libpng on a
-    real cluster is this one function.
+    Filter types 0/2 unfilter whole-row vectorized, Sub as a per-lane
+    cumsum, and Average/Paeth runs via the anti-diagonal wavefront
+    (_unfilter_wavefront) — per-image Python iterations are ~(h + w),
+    not h·w·channels. Short 3/4 runs use a tuned scalar loop drawn
+    against a per-image pixel budget.
 
-    Untrusted-corpus bounds: declared dimensions are checked against
-    ``max_px`` BEFORE any inflate (a crafted IHDR must not drive a
-    multi-GB zlib.decompress), and the inflate itself is capped at the
-    exact expected scanline volume via decompressobj — a deflate bomb
-    yields None, never an allocation."""
+    Untrusted-corpus bounds — memory AND cpu: declared dimensions are
+    checked against ``max_px`` BEFORE any inflate (a crafted IHDR must
+    not drive a multi-GB zlib.decompress); the inflate is capped at the
+    exact expected scanline volume via decompressobj (a deflate bomb
+    yields None, never an allocation); and scalar-path unfilter work is
+    capped at ``_SCALAR_PX_BUDGET`` pixels per image, so a crafted
+    corpus of large filter-alternating images degrades to the stub
+    instead of stalling executor tasks (r5 ADVICE)."""
     import zlib
 
     import numpy as np
@@ -174,6 +349,8 @@ def _parse_png_pixels(p: bytes):
     i = 8
     w = h = None
     channels = colortype = None
+    interlace = 0
+    plte = None
     idat: list[bytes] = []
     while i + 12 <= len(p):
         ln = int.from_bytes(p[i:i + 4], "big")
@@ -191,11 +368,15 @@ def _parse_png_pixels(p: bytes):
             h = int.from_bytes(data[4:8], "big")
             bitdepth, colortype = data[8], data[9]
             comp, filt, interlace = data[10], data[11], data[12]
-            if bitdepth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            if bitdepth != 8 or comp != 0 or filt != 0 or interlace > 1:
                 return None
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
             if channels is None:
                 return None
+        elif typ == b"PLTE":
+            if ln % 3 != 0 or ln == 0 or ln > 768:
+                return None
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -203,8 +384,20 @@ def _parse_png_pixels(p: bytes):
         i += 12 + ln
     if w is None or not idat or w <= 0 or h <= 0 or w * h > max_px:
         return None
-    rowlen = w * channels
-    expected = h * (1 + rowlen)
+    if colortype == 3 and plte is None:
+        return None
+    # Pass geometry: one full-frame pass, or the seven Adam7 sub-images
+    # (empty passes contribute no scanlines at all, filter bytes included).
+    if interlace == 0:
+        passes = [(h, w)]
+    else:
+        passes = []
+        for r0, c0, rs, cs in _ADAM7:
+            ph = (h - r0 + rs - 1) // rs
+            pw = (w - c0 + cs - 1) // cs
+            if ph > 0 and pw > 0:
+                passes.append((ph, pw))
+    expected = sum(ph * (1 + pw * channels) for ph, pw in passes)
     try:
         d = zlib.decompressobj()
         raw = d.decompress(b"".join(idat), expected)
@@ -214,41 +407,168 @@ def _parse_png_pixels(p: bytes):
         return None
     if len(raw) != expected:
         return None
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + rowlen)
-    bpp = channels
-    prev = np.zeros(rowlen, dtype=np.int64)
+    budget = [_SCALAR_PX_BUDGET]
     sums = np.zeros(channels, dtype=np.int64)
-    for y in range(h):
-        ft = int(arr[y, 0])
-        line = arr[y, 1:].astype(np.int64)
-        if ft == 0:
-            recon = line
-        elif ft == 1:  # Sub — additive recurrence per byte lane → cumsum
-            recon = line.copy()
-            for lane in range(bpp):
-                recon[lane::bpp] = np.cumsum(recon[lane::bpp]) % 256
-        elif ft == 2:  # Up
-            recon = (line + prev) % 256
-        elif ft == 3:  # Average
-            recon = np.empty(rowlen, dtype=np.int64)
-            for j in range(rowlen):
-                left = recon[j - bpp] if j >= bpp else 0
-                recon[j] = (line[j] + (left + prev[j]) // 2) % 256
-        elif ft == 4:  # Paeth
-            recon = np.empty(rowlen, dtype=np.int64)
-            for j in range(rowlen):
-                a = int(recon[j - bpp]) if j >= bpp else 0
-                c = int(prev[j - bpp]) if j >= bpp else 0
-                recon[j] = (line[j] + _paeth_predictor(a, int(prev[j]), c)) % 256
-        else:
+    idx_counts = np.zeros(256, dtype=np.int64) if colortype == 3 else None
+    off = 0
+    for ph, pw in passes:
+        n = ph * (1 + pw * channels)
+        arr = np.frombuffer(raw, dtype=np.uint8,
+                            count=n, offset=off).reshape(ph, -1)
+        off += n
+        recon = _unfilter_pass(arr, ph, pw, channels, budget)
+        if recon is None:
             return None
-        sums += recon.reshape(w, channels).sum(axis=0)
-        prev = recon
+        if colortype == 3:
+            idx_counts += np.bincount(recon.ravel(), minlength=256)
+        else:
+            sums += recon.reshape(ph * pw, channels).sum(axis=0)
+    if colortype == 3:
+        if int(idx_counts[len(plte):].sum()) != 0:
+            return None  # index past the palette — corrupt stream
+        counts = idx_counts[:len(plte)]
+        pr, pg, pb = (
+            int(counts @ plte[:, c].astype(np.int64)) for c in range(3))
+        return {"n_px": w * h, "sum_r": pr, "sum_g": pg, "sum_b": pb}
     if colortype in (0, 4):  # gray(+alpha) → r = g = b
         s = int(sums[0])
         return {"n_px": w * h, "sum_r": s, "sum_g": s, "sum_b": s}
     return {"n_px": w * h, "sum_r": int(sums[0]), "sum_g": int(sums[1]),
             "sum_b": int(sums[2])}
+
+
+def _lzw_decode(data: bytes, min_code: int, max_out: int):
+    """GIF-flavor LZW decode (LSB-first variable-width codes, clear/end
+    codes, 12-bit table cap with deferred-clear tolerance). Pure Python —
+    no codec library. Returns the decoded index bytes, or None on a
+    corrupt stream or if output would exceed ``max_out`` (the CPU/memory
+    bound for untrusted payloads: a crafted stream cannot emit more than
+    the declared frame's pixel count)."""
+    if not 1 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    next_code = end + 1
+    code_size = min_code + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                next_code = end + 1
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                else:
+                    return None
+                if next_code < 4096:
+                    table.append(prev + entry[:1])
+                    next_code += 1
+                    if next_code == (1 << code_size) and code_size < 12:
+                        code_size += 1
+            out.extend(entry)
+            if len(out) > max_out:
+                return None
+            prev = entry
+    return bytes(out)  # tolerate a missing explicit end code
+
+
+def _parse_gif_pixels(p: bytes):
+    """REAL pixel decode for GIF87a/89a via pure-Python LZW (no codec
+    library): walk the block stream past extensions to the FIRST image
+    descriptor, decode its sub-block LZW payload against the active
+    (local else global) color table, and sum channels via a bincount ×
+    palette matmul. Row order (interlaced or not) does not affect sums,
+    so no de-interlace pass is needed. Stats cover the first frame of an
+    animation and count the GCE transparency index at its stored palette
+    RGB — both documented curation-stat semantics, not a renderer.
+
+    Untrusted-corpus bounds: frame dimensions are checked against
+    ``max_px`` before any LZW work and the decoder hard-caps its output
+    at w·h indices, so neither a dimension lie nor an LZW bomb can
+    exceed the declared frame's memory/CPU."""
+    import numpy as np
+
+    max_px = 16_000_000
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    packed = p[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = p[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(p):
+        b0 = p[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks to terminator
+            pos += 2
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(p):
+                return None
+            iw = int.from_bytes(p[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(p[pos + 7:pos + 9], "little")
+            ipacked = p[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = p[pos:pos + 3 * n]
+                if len(table) < 3 * n:
+                    return None
+                pos += 3 * n
+            if table is None or iw <= 0 or ih <= 0 or iw * ih > max_px:
+                return None
+            if pos >= len(p):
+                return None
+            min_code = p[pos]
+            pos += 1
+            chunks = []
+            while pos < len(p) and p[pos] != 0:
+                ln = p[pos]
+                chunks.append(p[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+            counts = np.bincount(
+                np.frombuffer(idx[:iw * ih], dtype=np.uint8), minlength=256)
+            if int(counts[len(pal):].sum()) != 0:
+                return None  # index past the palette — corrupt stream
+            c = counts[:len(pal)].astype(np.int64)
+            sr, sg, sb = (int(c @ pal[:, k].astype(np.int64)) for k in range(3))
+            return {"n_px": iw * ih, "sum_r": sr, "sum_g": sg, "sum_b": sb}
+        elif b0 == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
 
 
 def _pixel_stats(payload: bytes) -> dict:
@@ -259,6 +579,8 @@ def _pixel_stats(payload: bytes) -> dict:
         parsed = _parse_bmp_pixels(b)
         if parsed is None:
             parsed = _parse_png_pixels(b)
+        if parsed is None:
+            parsed = _parse_gif_pixels(b)
     if parsed is None:
         return {"n_px": 0, "sum_r": 0, "sum_g": 0, "sum_b": 0, "mean_lum": None}
     lum = (
@@ -271,9 +593,10 @@ def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
                        key_col: str = "url") -> DataFrame:
     """df(key, binary) → per-image pixel statistics via the same Arrow-
     batched mapInPandas shape as decode_binary_column. Real for 24-bit
-    uncompressed BMP (numpy over the raw pixel array) and non-interlaced
-    8-bit PNG (stdlib zlib + unfilter); JPEG/GIF payloads yield n_px=0 /
-    NULL mean until codec libs exist."""
+    uncompressed BMP (numpy over the raw pixel array), 8-bit PNG
+    incl. palette + Adam7 (stdlib zlib + vectorized unfilter), and GIF
+    (pure-Python LZW); JPEG payloads yield n_px=0 / NULL mean until
+    codec libs exist (descoped — COVERAGE.md multimodal row)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -183,6 +183,27 @@ SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) ||
 FROM documents d LEFT JOIN mixrefs r ON d.doc_id = r.doc_id
 """
 
+# u1_profile_counts: the Spark side runs the REAL dispatch selector
+# (extract.profile_name_of over string-typed heads, Arrow-batched
+# map-side Counter); the oracle re-derives the extension + sniff rules
+# arithmetically — extension wins, extensionless heads sniff by leading
+# markup/json/xml markers (did%28 picks the head shape)
+ORACLES["u1_profile_counts"] = """
+SELECT profile, CAST(COUNT(*) AS BIGINT) AS n_pages FROM (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN 'html'
+              WHEN doc_id % 7 = 1 THEN 'md'
+              WHEN doc_id % 7 = 3 THEN 'json'
+              WHEN doc_id % 7 = 4 THEN 'xml'
+              WHEN doc_id % 7 = 5 THEN 'yaml'
+              WHEN doc_id % 7 = 6 THEN 'ini'
+              WHEN doc_id % 28 = 9 THEN 'sniff:html'
+              WHEN doc_id % 28 = 16 THEN 'sniff:json'
+              WHEN doc_id % 28 = 23 THEN 'sniff:xml'
+              ELSE 'sniff:text' END AS profile
+  FROM documents
+) GROUP BY profile
+"""
+
 ORACLES["f7_pointless_counts"] = KG + """
 SELECT url, kind, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY url, kind
 """
@@ -1438,10 +1459,53 @@ px AS (
        LATERAL (SELECT unnest(range(h)) AS y) ys
 ),
 sums AS (
+  -- did%4 = 2 is the PALETTE variant: pixel index (did+5x+3y)%8 routed
+  -- through the did-derived PLTE entries; other variants carry direct
+  -- RGB(A) samples (alpha never enters the sums; Adam7 row order cancels)
   SELECT did, MAX(w * h) AS n_px,
-         CAST(SUM((did * 3 + x * 5 + y * 7) % 256) AS BIGINT) AS sum_r,
-         CAST(SUM((did * 7 + x * 2 + y * 3) % 256) AS BIGINT) AS sum_g,
-         CAST(SUM((did + x * 13 + y * 11) % 256) AS BIGINT) AS sum_b
+         CAST(SUM(CASE WHEN did % 4 = 2
+              THEN (did * 7 + ((did + 5 * x + 3 * y) % 8) * 31) % 256
+              ELSE (did * 3 + x * 5 + y * 7) % 256 END) AS BIGINT) AS sum_r,
+         CAST(SUM(CASE WHEN did % 4 = 2
+              THEN (did * 5 + ((did + 5 * x + 3 * y) % 8) * 3) % 256
+              ELSE (did * 7 + x * 2 + y * 3) % 256 END) AS BIGINT) AS sum_g,
+         CAST(SUM(CASE WHEN did % 4 = 2
+              THEN (did + ((did + 5 * x + 3 * y) % 8) * 13) % 256
+              ELSE (did + x * 13 + y * 11) % 256 END) AS BIGINT) AS sum_b
+  FROM px GROUP BY did
+)
+SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
+       CAST(n_px AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+       ROUND((CAST(0.299 AS DOUBLE) * sum_r + CAST(0.587 AS DOUBLE) * sum_g
+              + CAST(0.114 AS DOUBLE) * sum_b) / n_px, 6) AS mean_lum
+FROM sums
+"""
+
+# mm_gif_pixels: the GIF decoder reassembles sub-blocks, LZW-decodes the
+# index stream and routes it through the active color table; the oracle
+# recomputes the channel sums from the index/palette arithmetic the
+# builder LZW-compressed away (interlaced row order cancels in the sums)
+ORACLES["mm_gif_pixels"] = """
+WITH mp AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id % 7 + 2 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 2 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT did, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+  FROM mp,
+       LATERAL (SELECT unnest(range(w)) AS x) xs,
+       LATERAL (SELECT unnest(range(h)) AS y) ys
+),
+sums AS (
+  SELECT did, MAX(w * h) AS n_px,
+         CAST(SUM((did * 7 + ((did + 5 * x + 3 * y) % 16) * 31) % 256)
+              AS BIGINT) AS sum_r,
+         CAST(SUM((did * 5 + ((did + 5 * x + 3 * y) % 16) * 3) % 256)
+              AS BIGINT) AS sum_g,
+         CAST(SUM((did + ((did + 5 * x + 3 * y) % 16) * 13) % 256)
+              AS BIGINT) AS sum_b
   FROM px GROUP BY did
 )
 SELECT 'doc://' || CAST(did AS VARCHAR) AS url,

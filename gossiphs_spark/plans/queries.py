@@ -181,6 +181,43 @@ def u1_mixed_profiles(spark, sf_dir):
     )
 
 
+def u1_profile_counts(spark, sf_dir):
+    """Corpus-level dispatch visibility (extract.profile_counts — the
+    per-profile counter lineage commits record), oracle-paired so grammar
+    -dispatch drift gets a hash row (r5 verdict item 8): documents map to
+    the u1_mixed_profiles url scheme (did%7 picks the extension), except
+    that EXTENSIONLESS pages (did%7==2) now vary their content head by
+    did%28 to hit all four sniff outcomes (text / html markup / json /
+    xml). The html column is passed as a STRING on purpose — string-typed
+    page corpora must sniff for real, not tally uniformly as sniff:text
+    (r5 ADVICE fix in extract.profile_name_of)."""
+    from gossiphs_spark.operators.extract import profile_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    mode = F.col("doc_id") % 7
+    url = (
+        F.when(mode == 0, F.concat(F.lit("doc://"), did, F.lit("/page.html")))
+        .when(mode == 1, F.concat(F.lit("doc://"), did, F.lit("/page.md")))
+        .when(mode == 2, F.concat(F.lit("doc://"), did, F.lit("/page")))
+        .when(mode == 3, F.concat(F.lit("doc://"), did, F.lit("/page.json")))
+        .when(mode == 4, F.concat(F.lit("doc://"), did, F.lit("/feed.xml")))
+        .when(mode == 5, F.concat(F.lit("doc://"), did, F.lit("/page.yaml")))
+        .otherwise(F.concat(F.lit("doc://"), did, F.lit("/page.toml")))
+    )
+    sniffmode = F.col("doc_id") % 28
+    content = (
+        F.when(sniffmode == 9, F.concat(F.lit("<p>Doc"), did, F.lit("</p>")))
+        .when(sniffmode == 16, F.concat(F.lit('{"doc": '), did, F.lit("}")))
+        .when(sniffmode == 23, F.concat(
+            F.lit('<?xml version="1.0"?><rss>Doc'), did, F.lit("</rss>")))
+        .otherwise(F.concat(F.lit("Doc"), did, F.lit(" plain body")))
+    )
+    pages = d.select(url.alias("url"), content.alias("html"))
+    return profile_counts(pages).select(
+        "profile", F.col("n_pages").cast("long").alias("n_pages"))
+
+
 def f7_pointless_counts(spark, sf_dir):
     fm = _filtered(spark, sf_dir)
     return fm.groupBy("url", "kind").agg(F.count("*").cast("long").alias("n"))
@@ -1120,74 +1157,118 @@ def mm_pixel_stats(spark, sf_dir):
     )
 
 
+def _png_forward_filter(raw, prev, ch: int, ft: int):
+    """Apply PNG filter type ``ft`` FORWARD to one scanline (the kernel
+    only ever implements the inverse — round-trip through zlib + chunk
+    framing verifies the inverse exactly)."""
+    if ft == 0:
+        return raw
+    if ft == 1:  # Sub
+        return [(raw[j] - (raw[j - ch] if j >= ch else 0)) % 256
+                for j in range(len(raw))]
+    if ft == 2:  # Up
+        return [(raw[j] - prev[j]) % 256 for j in range(len(raw))]
+    if ft == 3:  # Average
+        return [(raw[j] - ((raw[j - ch] if j >= ch else 0)
+                           + prev[j]) // 2) % 256
+                for j in range(len(raw))]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    return [(raw[j] - paeth(raw[j - ch] if j >= ch else 0,
+                            prev[j],
+                            prev[j - ch] if j >= ch else 0)) % 256
+            for j in range(len(raw))]
+
+
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+)
+
+
+def make_png_bytes(did: int, w: int, h: int) -> bytes:
+    """Deterministic forward-constructed PNG for the mm_png_pixels
+    round-trip — four variants by did % 4: RGB sequential / RGBA
+    sequential / PALETTE sequential (PLTE indirection) / RGB
+    Adam7-INTERLACED (seven independently filtered sub-images). Filter
+    types cycle through all five of None/Sub/Up/Average/Paeth."""
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    branch = did % 4
+    ct = {0: 2, 1: 6, 2: 3, 3: 2}[branch]
+    ch = {2: 3, 6: 4, 3: 1}[ct]
+    interlace = 1 if branch == 3 else 0
+
+    def px(x: int, y: int):
+        if ct == 3:
+            return [(did + 5 * x + 3 * y) % 8]
+        v = [(did * 3 + x * 5 + y * 7) % 256,
+             (did * 7 + x * 2 + y * 3) % 256,
+             (did + x * 13 + y * 11) % 256]
+        if ch == 4:
+            v.append((did + x + y) % 256)
+        return v
+
+    if interlace == 0:
+        passes = [(range(h), range(w))]
+    else:
+        passes = [(range(r0, h, rs), range(c0, w, cs))
+                  for r0, c0, rs, cs in _PNG_ADAM7 if r0 < h and c0 < w]
+    scanlines = []
+    fct = 0
+    for rows, cols in passes:
+        prev = [0] * (len(cols) * ch)
+        for y in rows:
+            raw = []
+            for x in cols:
+                raw += px(x, y)
+            ft = (did + fct) % 5
+            fct += 1
+            scanlines.append(
+                bytes([ft]) + bytes(_png_forward_filter(raw, prev, ch, ft)))
+            prev = raw
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ct, 0, 0, interlace]))
+    plte = b""
+    if ct == 3:
+        plte = chunk(b"PLTE", bytes(
+            v for j in range(8)
+            for v in ((did * 7 + j * 31) % 256, (did * 5 + j * 3) % 256,
+                      (did + j * 13) % 256)))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + plte
+            + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+            + chunk(b"IEND", b""))
+
+
 def mm_png_pixels(spark, sf_dir):
     """Multimodal REAL pixel decode for the dominant web format,
-    oracle-verified: complete non-interlaced 8-bit PNGs (CRC'd chunks,
-    zlib-compressed IDAT, per-row filter types cycling through all five
-    of None/Sub/Up/Average/Paeth) are built by a pandas_udf that applies
+    oracle-verified: complete 8-bit PNGs (CRC'd chunks, zlib-compressed
+    IDAT, per-row filter types cycling through all five of
+    None/Sub/Up/Average/Paeth) are built by a pandas_udf that applies
     the FORWARD filters to doc_id-arithmetic pixels, the mapInPandas
     kernel inflates and UNfilters them (multimodal._parse_png_pixels —
     stdlib zlib, no codec library), and the oracle derives the channel
-    sums from the pixel formula directly. Even docs are RGB, odd RGBA
-    (alpha exercises the 4-byte stride but never enters the sums); a bug
-    in any filter inverse, the chunk walk, stride math, or the CRC check
-    flips the hash."""
+    sums from the pixel formula directly. did%4 picks the variant:
+    RGB / RGBA (alpha exercises the 4-byte stride but never enters the
+    sums) / PALETTE (PLTE indirection) / Adam7-INTERLACED RGB; a bug in
+    any filter inverse, the chunk walk, the pass geometry, the palette
+    lookup, stride math, or the CRC check flips the hash."""
     from gossiphs_spark.operators.multimodal import decode_pixel_stats
 
     @F.pandas_udf("binary")
     def mk_png(did_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
-        import zlib
-
-        def chunk(typ: bytes, data: bytes) -> bytes:
-            return (len(data).to_bytes(4, "big") + typ + data
-                    + zlib.crc32(typ + data).to_bytes(4, "big"))
-
-        payloads = []
-        for did, w, h in zip(did_s, w_s, h_s):
-            did, w, h = int(did), int(w), int(h)
-            ct = 2 if did % 2 == 0 else 6
-            ch = 3 if ct == 2 else 4
-            prev = [0] * (w * ch)
-            scanlines = []
-            for y in range(h):
-                raw = []
-                for x in range(w):
-                    raw += [(did * 3 + x * 5 + y * 7) % 256,
-                            (did * 7 + x * 2 + y * 3) % 256,
-                            (did + x * 13 + y * 11) % 256]
-                    if ch == 4:
-                        raw.append((did + x + y) % 256)
-                ft = (did + y) % 5
-                if ft == 0:
-                    filt = raw
-                elif ft == 1:  # Sub
-                    filt = [(raw[j] - (raw[j - ch] if j >= ch else 0)) % 256
-                            for j in range(len(raw))]
-                elif ft == 2:  # Up
-                    filt = [(raw[j] - prev[j]) % 256 for j in range(len(raw))]
-                elif ft == 3:  # Average
-                    filt = [(raw[j] - ((raw[j - ch] if j >= ch else 0)
-                                       + prev[j]) // 2) % 256
-                            for j in range(len(raw))]
-                else:  # Paeth
-                    def paeth(a, b, c):
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    filt = [(raw[j] - paeth(raw[j - ch] if j >= ch else 0,
-                                            prev[j],
-                                            prev[j - ch] if j >= ch else 0)) % 256
-                            for j in range(len(raw))]
-                scanlines.append(bytes([ft]) + bytes(filt))
-                prev = raw
-            ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-                    + bytes([8, ct, 0, 0, 0]))
-            payloads.append(
-                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
-                + chunk(b"IEND", b"")
-            )
-        return pd.Series(payloads)
+        return pd.Series([
+            make_png_bytes(int(did), int(w), int(h))
+            for did, w, h in zip(did_s, w_s, h_s)
+        ])
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("did"),
@@ -1204,10 +1285,131 @@ def mm_png_pixels(spark, sf_dir):
     )
 
 
+def lzw_encode_gif(indices: bytes, min_code: int) -> bytes:
+    """Greedy GIF-flavor LZW ENCODER (LSB-first variable-width codes) for
+    fixture construction only — the kernel ships the decoder
+    (multimodal._lzw_decode); tests/test_multimodal.py round-trips random
+    index streams through both so the width-growth and table-cap
+    conventions are pinned against each other, and the oracle pins the
+    decoded sums arithmetically."""
+    clear = 1 << min_code
+    end = clear + 1
+    table = {bytes((i,)): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes((b,))
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # decoder bumps at next_code == 1<<width (it lags one entry);
+            # the matching encoder convention is 1<<width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes((b,))
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+# GIF interlace: four passes over rows (start, step).
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def make_gif_bytes(did: int, w: int, h: int) -> bytes:
+    """Deterministic forward-constructed GIF89a for the mm_gif_pixels
+    round-trip: 16-color palette (GLOBAL color table for even did, LOCAL
+    for odd), a graphic-control extension the decoder must skip, REAL
+    greedy-LZW-compressed index data split into ≤255-byte sub-blocks,
+    and proper row reordering when did % 3 == 0 sets the interlace flag
+    (row order cancels in channel sums; the payload is still a faithful
+    interlaced GIF)."""
+    pal = bytes(v for j in range(16)
+                for v in ((did * 7 + j * 31) % 256, (did * 5 + j * 3) % 256,
+                          (did + j * 13) % 256))
+    interlaced = did % 3 == 0
+    rows = (
+        [y for st, sp in _GIF_INTERLACE for y in range(st, h, sp)]
+        if interlaced else range(h))
+    idx = bytes((did + 5 * x + 3 * y) % 16 for y in rows for x in range(w))
+    le2 = lambda v: v.to_bytes(2, "little")  # noqa: E731
+    glob = did % 2 == 0
+    # logical screen: GCT flag | color-res 7 | size bits 3 (2^4 entries)
+    lsd = le2(w) + le2(h) + bytes([(0xF3 if glob else 0x73), 0, 0])
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # extension the parser skips
+    ipacked = (0x80 if not glob else 0) | (0x40 if interlaced else 0) | \
+        (0x03 if not glob else 0)
+    desc = b"\x2c" + le2(0) + le2(0) + le2(w) + le2(h) + bytes([ipacked])
+    lzw = lzw_encode_gif(idx, 4)
+    blocks = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255))
+    return (b"GIF89a" + lsd + (pal if glob else b"") + gce + desc
+            + (b"" if glob else pal) + bytes([4]) + blocks + b"\x00\x3b")
+
+
+def mm_gif_pixels(spark, sf_dir):
+    """Multimodal REAL pixel decode for GIF, oracle-verified: complete
+    GIF89a payloads (global or local 16-color table, skippable GCE
+    extension, real greedy-LZW index data, interlaced row order for
+    did % 3 == 0) are built by a pandas_udf, the mapInPandas kernel
+    LZW-decodes them (multimodal._parse_gif_pixels — pure Python, no
+    codec library) and sums channels through the palette, and the oracle
+    derives the same sums from the index/palette arithmetic directly.
+    A bug in the LZW width growth, sub-block reassembly, palette
+    selection, or block walk flips the hash."""
+    from gossiphs_spark.operators.multimodal import decode_pixel_stats
+
+    @F.pandas_udf("binary")
+    def mk_gif(did_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_gif_bytes(int(did), int(w), int(h))
+            for did, w, h in zip(did_s, w_s, h_s)
+        ])
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did"),
+        (F.col("doc_id") % 7 + 2).cast("long").alias("w"),
+        (F.col("doc_id") % 5 + 2).cast("long").alias("h"),
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        mk_gif("did", "w", "h").alias("payload"),
+    )
+    return decode_pixel_stats(payloads).select(
+        "url", "n_px", "sum_r", "sum_g", "sum_b",
+        F.round("mean_lum", 6).alias("mean_lum"),
+    )
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs
-    in this container; the Spark-side path is real)."""
+    in this container; the Spark-side path is real). With PNG, GIF and
+    BMP pixel decode now real, the stub's remaining production surface is
+    JPEG — deliberately descoped; see COVERAGE.md's multimodal JPEG row
+    for the rationale and the PIL swap seam."""
     from gossiphs_spark.operators.multimodal import decode_binary_column
 
     d = load_table(spark, sf_dir, "documents")

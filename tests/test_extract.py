@@ -439,9 +439,76 @@ def test_ini_profile_golden():
     s = i.decode()
     for _, name, kind, a, b, *_ in rows:
         assert s[a:b] == name or (kind == "IMPORT" and s[a:b + 1].startswith(name))
-    # '#' comments (TOML style) skipped too; hashes inside values kept
-    rows2 = extract_page_ini("u", b"# top\nkey = Nebula # not a comment\n")
+    # '#' comment lines (TOML style) skipped too
+    rows2 = extract_page_ini("u", b"# top\nkey = Nebula # Trailing note\n")
     assert ("Nebula", "REF") in {(r[1], r[2]) for r in rows2}
+
+
+def test_inline_comments_and_block_scalars():
+    """r5 ADVICE: comment prose and block-scalar literal content must not
+    emit mentions; markers inside quoted spans stay literal."""
+    from gossiphs_spark.operators.extract import (
+        extract_page_ini, extract_page_yaml,
+    )
+
+    # INI: ' ; note' and ' # note' comments stripped before routing —
+    # neither Ursa nor the commented-out url may surface
+    rows = extract_page_ini(
+        "u", b"key = Vega ; saw Ursa too\nurl = real ; https://bad.example\n")
+    names = {(r[1], r[2]) for r in rows}
+    assert ("Vega", "REF") in names
+    assert not any(n[0] == "Ursa" or "bad.example" in n[0] for n in names)
+    # quote-guarded: a '#' inside a quoted TOML string is literal
+    rows = extract_page_ini("u", b'title = "Alpha # Beta" # Gamma note\n')
+    names = {(r[1], r[2]) for r in rows}
+    assert ("Alpha # Beta", "DEF") in names
+    assert not any("Gamma" in n[0] for n in names)
+    # YAML inline ' # note' comments: stripped, including whole-comment
+    # values (key: # note emits nothing for the value)
+    rows = extract_page_yaml(
+        "u", b"body: Lyra rising # but Draco is comment\nnote: # Orion only\n")
+    names = {(r[1], r[2]) for r in rows}
+    assert ("Lyra", "REF") in names
+    assert not any(n[0] in ("Draco", "Orion") for n in names)
+    # YAML block scalars: indented content under | or > is literal text,
+    # not keys/values — 'fake_key' and 'Cygnus' must not emit; the next
+    # top-level key after the block resumes normal scanning
+    y = (b"title: Doc1\n"
+         b"script: |\n"
+         b"  fake_key: Cygnus value\n"
+         b"  more literal text\n"
+         b"after: saw Phoenix land\n")
+    rows = extract_page_yaml("u", y)
+    names = {(r[1], r[2]) for r in rows}
+    assert ("Doc1", "DEF") in names and ("Phoenix", "REF") in names
+    assert ("after", "NAMESPACE") in names
+    assert not any(n[0] in ("fake_key", "Cygnus") for n in names)
+    # folded introducer with chomping indicator + trailing comment
+    y2 = b"out: >-  # folded\n  Aquila text here\nnext: Carina\n"
+    names2 = {(r[1], r[2]) for r in extract_page_yaml("u", y2)}
+    assert ("Carina", "REF") in names2
+    assert not any(n[0] == "Aquila" for n in names2)
+    # byte-exactness survives comment stripping (quote + inner padding)
+    rows = extract_page_ini("u", b'name = " Sirius "  ; pad\n')
+    s = 'name = " Sirius "  ; pad\n'
+    for _, name, kind, a, b, *_ in rows:
+        assert s[a:b] == name
+
+
+def test_profile_sniff_handles_str_blobs():
+    """r5 ADVICE: a string-typed page column must sniff for real instead
+    of tallying uniformly as sniff:text."""
+    from gossiphs_spark.operators.extract import profile_name_of
+
+    assert profile_name_of("u://page", "<p>hi</p>") == "sniff:html"
+    assert profile_name_of("u://page", '{"a": 1}') == "sniff:json"
+    assert profile_name_of("u://page", "<?xml version='1.0'?>") == "sniff:xml"
+    assert profile_name_of("u://page", "plain words") == "sniff:text"
+    # bytes-like variants sniff identically
+    assert profile_name_of("u://page", bytearray(b"<p>hi</p>")) == "sniff:html"
+    assert profile_name_of("u://page", memoryview(b'{"a":1}')) == "sniff:json"
+    # extension still wins over content
+    assert profile_name_of("u://page.md", "<p>hi</p>") == "md"
 
 
 def test_yaml_ini_dispatch():

@@ -140,16 +140,9 @@ def test_bmp_pixel_parse_rejects_undecodable():
     assert _pixel_stats(b"")["mean_lum"] is None
 
 
-def _mk_png(w, h, ct, img_rows, filter_types):
-    """Independent forward-filter PNG construction (never shares code with
-    the decoder): img_rows is h lists of w*channels raw byte values."""
-    import zlib
-
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
-
-    def chunk(typ, data):
-        return (len(data).to_bytes(4, "big") + typ + data
-                + zlib.crc32(typ + data).to_bytes(4, "big"))
+def _filter_rows(img_rows, w, ch, filter_types):
+    """Forward-filter one pass worth of scanlines (independent of the
+    decoder's inverse)."""
 
     def paeth(a, b, c):
         p = a + b - c
@@ -176,8 +169,47 @@ def _mk_png(w, h, ct, img_rows, filter_types):
                     for j in range(w * ch)]
         lines.append(bytes([ft]) + bytes(filt))
         prev = list(raw)
-    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ct, 0, 0, 0])
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    return lines
+
+
+def _mk_png(w, h, ct, img_rows, filter_types, plte=None, interlace=0):
+    """Independent forward-filter PNG construction (never shares code with
+    the decoder): img_rows is h lists of w*channels raw byte values
+    (palette indices for ct=3). With interlace=1 the rows are re-cut into
+    the seven Adam7 sub-images, each filtered independently
+    (filter_types then indexes the global scanline counter)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    if interlace == 0:
+        lines = _filter_rows(img_rows, w, ch, filter_types)
+    else:
+        adam7 = ((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+                 (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+        lines = []
+        fct = 0
+        for r0, c0, rs, cs in adam7:
+            if r0 >= h or c0 >= w:
+                continue
+            sub = []
+            for y in range(r0, h, rs):
+                row = []
+                for x in range(c0, w, cs):
+                    row.extend(img_rows[y][x * ch:(x + 1) * ch])
+                sub.append(row)
+            fts = [filter_types[(fct + i) % len(filter_types)]
+                   for i in range(len(sub))]
+            fct += len(sub)
+            lines.extend(_filter_rows(sub, len(sub[0]) // ch, ch, fts))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ct, 0, 0, interlace]))
+    plte_chunk = chunk(b"PLTE", plte) if plte is not None else b""
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + plte_chunk
             + chunk(b"IDAT", zlib.compress(b"".join(lines)))
             + chunk(b"IEND", b""))
 
@@ -217,7 +249,8 @@ def test_png_pixel_parse_rejects_undecodable():
 
     good = _mk_png(3, 2, 2, [[9] * 9, [7] * 9], [0, 1])
     assert _parse_png_pixels(good) is not None
-    # corrupt CRC, truncated IDAT, palette, interlace, 16-bit all decline
+    # corrupt CRC, truncated IDAT, 16-bit, PLTE-less palette, bogus
+    # interlace mode, and palette-index-overflow all decline
     bad_crc = bytearray(good)
     bad_crc[20] ^= 0x01  # flip a bit in IHDR data → CRC mismatch
     assert _parse_png_pixels(bytes(bad_crc)) is None
@@ -228,13 +261,210 @@ def test_png_pixel_parse_rejects_undecodable():
         return (len(data).to_bytes(4, "big") + typ + data
                 + zlib.crc32(typ + data).to_bytes(4, "big"))
 
-    for depth, ct, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+    for depth, ct, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 2)):
         ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
             [depth, ct, 0, 0, interlace]
         )
         p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
              + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b""))
         assert _parse_png_pixels(p) is None, (depth, ct, interlace)
+    # palette image whose indices run past the PLTE → corrupt, declined
+    over = _mk_png(2, 1, 3, [[0, 5]], [0], plte=bytes(6))  # 2-entry PLTE
+    assert _parse_png_pixels(over) is None
     # and the kernel wrapper routes PNG payloads to real stats now
     stats = _pixel_stats(good)
     assert stats["n_px"] == 6 and stats["sum_r"] == 9 * 3 + 7 * 3
+
+def _png_sums(img_rows, w, h, ct):
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    flat = [row[x * ch:(x + 1) * ch] for row in img_rows for x in range(w)]
+    if ct in (0, 4):
+        s = sum(p[0] for p in flat)
+        return {"n_px": w * h, "sum_r": s, "sum_g": s, "sum_b": s}
+    return {"n_px": w * h, "sum_r": sum(p[0] for p in flat),
+            "sum_g": sum(p[1] for p in flat),
+            "sum_b": sum(p[2] for p in flat)}
+
+
+def test_png_palette_and_interlace():
+    """PLTE indirection and Adam7 pass geometry, against independent
+    forward construction (r5 verdict item 4)."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _parse_png_pixels
+
+    rnd = random.Random(23)
+    # palette: 5-entry PLTE, random index image, all five filter types
+    plte = bytes(rnd.randrange(256) for _ in range(15))
+    w, h = 6, 5
+    idx_rows = [[rnd.randrange(5) for _ in range(w)] for _ in range(h)]
+    png = _mk_png(w, h, 3, idx_rows, [0, 1, 2, 3, 4], plte=plte)
+    got = _parse_png_pixels(png)
+    want = {"n_px": w * h}
+    for c, nm in enumerate(("sum_r", "sum_g", "sum_b")):
+        want[nm] = sum(plte[i * 3 + c] for row in idx_rows for i in row)
+    assert got == want
+    # Adam7 interlace: every color type, dims that exercise empty and
+    # single-pixel passes
+    for ct in (0, 2, 4, 6):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        for w, h in ((1, 1), (3, 2), (8, 8), (9, 5), (2, 10)):
+            img = [[rnd.randrange(256) for _ in range(w * ch)]
+                   for _ in range(h)]
+            png = _mk_png(w, h, ct, img, [0, 1, 2, 3, 4], interlace=1)
+            assert _parse_png_pixels(png) == _png_sums(img, w, h, ct), (ct, w, h)
+    # palette + interlace composed
+    idx_rows = [[rnd.randrange(5) for _ in range(9)] for _ in range(9)]
+    png = _mk_png(9, 9, 3, idx_rows, [4, 3, 2, 1, 0], plte=plte, interlace=1)
+    got = _parse_png_pixels(png)
+    assert got["n_px"] == 81
+    assert got["sum_r"] == sum(plte[i * 3] for row in idx_rows for i in row)
+
+
+def test_png_wavefront_matches_scalar_path(monkeypatch):
+    """Long Average/Paeth runs go through the vectorized anti-diagonal
+    wavefront; forcing the same image down the tuned scalar path must
+    give identical sums (r5 verdict item 2 — the unfilter rewrite cannot
+    change semantics)."""
+    import random
+
+    from gossiphs_spark.operators import multimodal as mm
+
+    rnd = random.Random(37)
+    w, h = 23, 40
+    for ct in (2, 6):
+        ch = {2: 3, 6: 4}[ct]
+        img = [[rnd.randrange(256) for _ in range(w * ch)] for _ in range(h)]
+        # rows 0..3 cycle all filters, the rest alternate Average/Paeth in
+        # one long run (R=36 ≥ _WAVEFRONT_MIN_RUN → wavefront)
+        fts = [0, 1, 2, 3] + [3 if y % 2 else 4 for y in range(h - 4)]
+        png = _mk_png(w, h, ct, img, fts)
+        want = _png_sums(img, w, h, ct)
+        assert mm._parse_png_pixels(png) == want, f"wavefront ct={ct}"
+        monkeypatch.setattr(mm, "_WAVEFRONT_MIN_RUN", 10 ** 9)
+        assert mm._parse_png_pixels(png) == want, f"scalar ct={ct}"
+        monkeypatch.undo()
+
+
+def test_png_scalar_budget_bounds_cpu(monkeypatch):
+    """Adversarial filter-alternating images (every 3/4 run shorter than
+    the wavefront threshold) draw down the per-image scalar budget and
+    fall to the stub instead of stalling the task (r5 ADVICE)."""
+    from gossiphs_spark.operators import multimodal as mm
+
+    w, h = 16, 12
+    img = [[(x * 7 + y) % 256 for x in range(w * 3)] for y in range(h)]
+    fts = [4 if y % 2 else 2 for y in range(h)]  # runs of exactly 1
+    png = _mk_png(w, h, 2, img, fts)
+    assert mm._parse_png_pixels(png) == _png_sums(img, w, h, 2)
+    monkeypatch.setattr(mm, "_SCALAR_PX_BUDGET", 50)  # 6 scalar rows × 16 px
+    assert mm._parse_png_pixels(png) is None
+    assert mm._pixel_stats(png)["n_px"] == 0  # honest stub row, no crash
+
+
+def test_gif_lzw_roundtrip_properties():
+    """The fixture ENCODER (queries.lzw_encode_gif) and the kernel DECODER
+    (multimodal._lzw_decode) pin each other's variable-width/table-cap
+    conventions: random, run-heavy, and periodic index streams round-trip
+    exactly, including past the 4096-entry freeze."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _lzw_decode
+    from gossiphs_spark.plans.queries import lzw_encode_gif
+
+    rnd = random.Random(91)
+    for trial in range(30):
+        n = rnd.randrange(1, 4000)
+        kind = trial % 3
+        if kind == 0:
+            data = bytes(rnd.randrange(16) for _ in range(n))
+        elif kind == 1:
+            data = bytes([rnd.randrange(4)] * n)
+        else:
+            pat = bytes(rnd.randrange(16) for _ in range(rnd.randrange(1, 9)))
+            data = (pat * (n // len(pat) + 1))[:n]
+        enc = lzw_encode_gif(data, 4)
+        assert _lzw_decode(enc, 4, n) == data, (trial, n)
+    # table-cap freeze (deferred clear) and the smallest legal code size
+    big = bytes(rnd.randrange(16) for _ in range(30000))
+    assert _lzw_decode(lzw_encode_gif(big, 4), 4, len(big)) == big
+    small = bytes(rnd.randrange(4) for _ in range(3000))
+    assert _lzw_decode(lzw_encode_gif(small, 2), 2, len(small)) == small
+    # output cap: a stream that would emit more than max_out declines
+    assert _lzw_decode(lzw_encode_gif(b"\x01" * 100, 4), 4, 99) is None
+
+
+def test_gif_pixel_parse_golden_and_rejects():
+    from gossiphs_spark.operators.multimodal import (_parse_gif_pixels,
+                                                     _pixel_stats)
+    from gossiphs_spark.plans.queries import make_gif_bytes
+
+    # golden: 2x2, 4-entry global table, hand-assembled uncompressed-style
+    # LZW (clear before every literal keeps the table empty and the code
+    # width fixed at min_code+1 = 3 bits) — decoder verified against a
+    # stream the fixture ENCODER never produced
+    pal = bytes([10, 20, 30,  40, 50, 60,  70, 80, 90,  200, 210, 220])
+    # codes, 3 bits LSB-first: clear=4, literals 0,3,1,2 interleaved with
+    # clears, end=5  →  4,0,4,3,4,1,4,2,5
+    bits = []
+    for code in (4, 0, 4, 3, 4, 1, 4, 2, 5):
+        bits += [(code >> k) & 1 for k in range(3)]
+    data = bytes(sum(b << k for k, b in enumerate(bits[i:i + 8]))
+                 for i in range(0, len(bits), 8))
+    gif = (b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + bytes([0xF1, 0, 0]) + pal
+           + b"\x2c" + bytes(4) + (2).to_bytes(2, "little")
+           + (2).to_bytes(2, "little") + b"\x00"
+           + bytes([2]) + bytes([len(data)]) + data + b"\x00\x3b")
+    got = _parse_gif_pixels(gif)
+    assert got == {"n_px": 4, "sum_r": 10 + 200 + 40 + 70,
+                   "sum_g": 20 + 210 + 50 + 80,
+                   "sum_b": 30 + 220 + 60 + 90}
+    # the constructor's variants: global/local table, interlace, GCE skip
+    for did in (0, 1, 2, 3, 4, 5, 6):
+        w, h = did % 7 + 2, did % 5 + 2
+        got = _parse_gif_pixels(make_gif_bytes(did, w, h))
+        want_r = sum((did * 7 + ((did + 5 * x + 3 * y) % 16) * 31) % 256
+                     for x in range(w) for y in range(h))
+        assert got["n_px"] == w * h and got["sum_r"] == want_r, did
+    # rejects: truncated, no color table, trailer before frame, index
+    # past palette, LZW bomb capped at the declared frame size
+    good = make_gif_bytes(5, 4, 3)
+    assert _parse_gif_pixels(good[:20]) is None
+    no_tbl = (b"GIF89a" + bytes(4) + bytes([0x00, 0, 0])
+              + b"\x2c" + bytes(4) + (2).to_bytes(2, "little")
+              + (1).to_bytes(2, "little") + b"\x00\x02\x01\x44\x00\x3b")
+    assert _parse_gif_pixels(no_tbl) is None
+    assert _parse_gif_pixels(b"GIF89a" + bytes(4) + bytes([0, 0, 0]) + b"\x3b") is None
+    # 2-entry palette (size bits 0) but indices up to 3 → overflow declined
+    over = bytearray(make_gif_bytes(1, 3, 2))  # local table, 16 entries
+    # shrink the declared local-table size: packed byte after 9-desc bytes
+    # (find 0x2c; its packed byte is at +9)
+    i = over.index(0x2C, 13)
+    over[i + 9] = (over[i + 9] & 0xF8) | 0x00  # now 2 entries
+    del over[i + 10 + 6: i + 10 + 48]  # drop palette bytes past 2 entries
+    assert _parse_gif_pixels(bytes(over)) is None
+    # kernel wrapper: real stats for GIF now
+    st = _pixel_stats(good)
+    assert st["n_px"] == 12 and st["mean_lum"] is not None
+
+
+def test_gif_first_frame_of_animation():
+    """Multi-frame GIFs decode the FIRST image descriptor only — the
+    documented curation-stat semantics."""
+    from gossiphs_spark.operators.multimodal import _parse_gif_pixels
+    from gossiphs_spark.plans.queries import lzw_encode_gif
+
+    pal = bytes([1, 2, 3, 9, 8, 7, 0, 0, 0, 0, 0, 0])
+    le2 = lambda v: v.to_bytes(2, "little")  # noqa: E731
+
+    def frame(idx_bytes, w, h):
+        lzw = lzw_encode_gif(idx_bytes, 2)
+        return (b"\x2c" + le2(0) + le2(0) + le2(w) + le2(h) + b"\x00"
+                + bytes([2, len(lzw)]) + lzw + b"\x00")
+
+    gif = (b"GIF89a" + le2(2) + le2(1) + bytes([0xF1, 0, 0]) + pal
+           + frame(bytes([0, 1]), 2, 1) + frame(bytes([1, 1]), 2, 1)
+           + b"\x3b")
+    got = _parse_gif_pixels(gif)
+    assert got == {"n_px": 2, "sum_r": 1 + 9, "sum_g": 2 + 8, "sum_b": 3 + 7}

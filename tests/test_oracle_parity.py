@@ -113,6 +113,17 @@ FLAGSHIPS = {
     "mm_image_dims",
     "mm_pixel_stats",
     "mm_png_pixels",
+    # r6 rotation (r5 verdict item 5): the five r5-parked twins and the
+    # two rows-only composed corpus runs must hold a recorded row
+    "mm_gif_pixels",
+    "u1_profile_counts",
+    "j1_candidate_counts",
+    "a13_score_buckets",
+    "ann_lsh_buckets",
+    "dd_ngram_jaccard",
+    "a10_metadata_arrays",
+    "kg_build_related",
+    "kg_triples_canonical",
 }
 
 
