@@ -340,6 +340,10 @@ class MultiGraphServer(_HttpFront):
                 finally:
                     unpin(g)
 
+        # exposed for the pin/evict stress tests (tests/test_server.py) —
+        # the HTTP handler itself only ever uses the closures above
+        self._open_graph = open_graph
+        self._unpin = unpin
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = None

@@ -221,8 +221,14 @@ def test_multigraph_eviction_race_hammer(spark, tmp_path):
     srv = MultiGraphServer(str(tmp_path), max_graphs=1).start()
     errors: list[str] = []
 
+    import time
+
+    deadline = time.monotonic() + 5.0  # r5 verdict item 7: ~5 s of fire
+    n_reqs = [0] * 8
+
     def hammer(tid: int) -> None:
-        for i in range(25):
+        i = 0
+        while time.monotonic() < deadline or i < 25:
             gname, score = ("ga", 11) if (tid + i) % 2 == 0 else ("gb", 22)
             try:
                 code, rows = _get(srv.port, f"/relate?url={gname}-page&graph={gname}")
@@ -230,6 +236,8 @@ def test_multigraph_eviction_race_hammer(spark, tmp_path):
                     errors.append(f"t{tid} i{i}: code={code} rows={rows}")
             except Exception as e:  # dropped connection / HTTP error
                 errors.append(f"t{tid} i{i}: {type(e).__name__}: {e}")
+            i += 1
+        n_reqs[tid] = i
 
     try:
         threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
@@ -237,10 +245,75 @@ def test_multigraph_eviction_race_hammer(spark, tmp_path):
             t.start()
         for t in threads:
             t.join(timeout=120)
-        assert not errors, errors[:5]
+        assert not errors, (len(errors), errors[:5])
+        assert sum(n_reqs) >= 200, n_reqs  # the fire was real
         # every pin was dropped: the surviving handle is idle and alive
         with srv._lock:
             assert all(g.refs == 0 and not g.defunct for g in srv._lru.values())
             assert len(srv._lru) == 1
+    finally:
+        srv.stop()
+
+
+def test_multigraph_defunct_reopen_under_fire(spark, tmp_path):
+    """r5 verdict item 7: a handle evicted WHILE PINNED goes defunct
+    (off-catalog, closes at last unpin) — and the same graph must
+    transparently reopen as a FRESH handle for new requests while the old
+    pin is still held. The held pin stands in for a slow in-flight query
+    spanning the whole reopen burst."""
+    import threading
+
+    from gossiphs_spark.server import MultiGraphServer
+
+    for gname, score in (("ga", 11), ("gb", 22)):
+        rel = spark.createDataFrame(
+            [(f"{gname}-page", "x", score)], "page string, other string, score long"
+        )
+        rel.write.parquet(str(tmp_path / gname / "related"))
+
+    srv = MultiGraphServer(str(tmp_path), max_graphs=1).start()
+    try:
+        old = srv._open_graph("ga")  # held pin: simulated in-flight query
+        assert old is not None and old.refs == 1
+        code, _ = _get(srv.port, "/relate?url=gb-page&graph=gb")
+        assert code == 200  # loading gb evicts pinned ga → defunct
+        assert old.defunct and old.refs == 1
+        with old.lock:
+            old.con.execute("SELECT 1")  # still open: our pin holds it
+
+        errors: list[str] = []
+
+        def fire(tid: int) -> None:
+            for i in range(20):
+                try:
+                    code, rows = _get(srv.port, "/relate?url=ga-page&graph=ga")
+                    if code != 200 or rows[0]["score"] != 11:
+                        errors.append(f"t{tid} i{i}: {code} {rows}")
+                except Exception as e:
+                    errors.append(f"t{tid} i{i}: {type(e).__name__}: {e}")
+
+        threads = [threading.Thread(target=fire, args=(t,)) for t in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:5]
+        # the reopened catalog entry is a NEW handle; the defunct one is
+        # still open solely because our pin holds it
+        with srv._lock:
+            assert srv._lru["ga"] is not old
+        with old.lock:
+            old.con.execute("SELECT 1")
+        srv._unpin(old)  # last unpin closes the defunct handle…
+        import duckdb
+        try:
+            with old.lock:
+                old.con.execute("SELECT 1")
+            assert False, "defunct handle still open after last unpin"
+        except duckdb.Error:
+            pass
+        # …without disturbing the live one
+        code, rows = _get(srv.port, "/relate?url=ga-page&graph=ga")
+        assert code == 200 and rows[0]["score"] == 11
     finally:
         srv.stop()
