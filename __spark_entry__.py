@@ -34,28 +34,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Ordering policy (r5 verdict item 5 / r5 ADVICE): the driver records
 # CORRECTNESS rows for the FIRST 50 names only, so the list ROTATES each
 # round — every oracle-paired query gets a recorded driver row at least
-# every other round. This round the five r5-parked per-stage twins
-# (j1_candidate_counts … a10_metadata_arrays) are IN the window, the
-# corpus-scale composed runs kg_build_related / kg_triples_canonical are
-# back in the contract as rows-only entries, and the queries parked past
-# the window are exactly the per-stage twins with two consecutive green
-# recorded rows (r4+r5) whose semantics the composed kg_build_scored /
-# sibling tq twins subsume. Everything stays oracle-paired and green in
+# every other round. r7 rotation (r6 verdict item 3): the nine r6-parked
+# twins (f8_valid_evidence … dd_simhash) return to the window; parked
+# past the window are nine queries with two consecutive recorded green
+# rows (r5+r6) whose semantics an in-window query composes or subsumes
+# (per-stage linking/scoring twins live inside kg_build_scored; the a9
+# siblings share a9_related_pages' rollup; tq_winnow_fingerprints
+# supersedes tq_fingerprint). Everything stays oracle-paired and green in
 # pytest's oracle-parity suite regardless of window position
 # (tests/test_oracle_parity.py).
 _QUERY_NAMES = [
     # KG core (SURVEY.md §2.1-2.6)
     "u1_mentions",
-    "u1_md_mentions",
-    "u1_mixed_profiles",
-    "f7_pointless_counts",
-    "a3_idf",
-    "j1_link_exact",
-    "j2_link_basename",
+    "u1_profile_counts",
     "a8_edges",
     "a9_related_pages",
-    "a9_related_with_symbols",
-    "a9_symbol_neighbors",
     "w8_topk_neighbors",
     "j7_trigram_fallback",
     "triples_extract",
@@ -63,33 +56,44 @@ _QUERY_NAMES = [
     "s5_dense_export",
     "s6_source_matrix",
     "kg_pagerank",
-    # NEW r6: corpus-level grammar-dispatch counter (sniff paths pinned)
-    "u1_profile_counts",
     # evidence-based scoring (§2.3 J5, §2.4, §2.5)
     "eval_cutoff_search",
     "a10_file_metadata",
+    "a10_metadata_arrays",
+    "a13_score_buckets",
+    "j1_candidate_counts",
     "o8_hub_damped_counts",
     "w4_related_filtered",
+    # returned to the window this round (parked r6; r6 verdict item 3)
+    "f8_valid_evidence",
+    "a4_decayed_cardinality",
+    "j5_jaccard_pairs",
+    "w1_knee_cutoffs",
+    "w6_entropy_zscore",
     # scalar suite (§2.7)
     "x_scalar_suite",
     # training-data pipeline ops
     "dd_exact_dups",
     "dd_embedding_neardup",
     "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_simhash",
     "u4_canonical_components",
     "u4_triples_canonical",
     "tq_token_stats",
     "tq_quality",
     "tq_langid",
-    "tq_fingerprint",
+    "tq_langid_profiles",
+    "tq_bpe_tokens",
+    "tq_winnow_fingerprints",
     "tq_source_curation",
     "ev_sessions",
     "ann_cosine_topk",
     "ann_ivf_search",
+    "ann_lsh_buckets",
     "mm_image_dims",
     "mm_pixel_stats",
     "mm_png_pixels",
-    # NEW r6: real GIF LZW pixel decode
     "mm_gif_pixels",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
@@ -98,32 +102,25 @@ _QUERY_NAMES = [
     # incremental splice — oracled as a from-scratch SQL rebuild of the
     # post-delta corpus (splice ≡ rebuild is pinned in tests)
     "kg_delta_related",
-    # rotated INTO the window this round (r5 verdict item 5)
-    "j1_candidate_counts",
-    "a13_score_buckets",
-    "ann_lsh_buckets",
-    "dd_ngram_jaccard",
-    "a10_metadata_arrays",
-    # rows-only corpus-scale composed runs, back in the driver contract
-    # (r5 ADVICE): no SQL-expressible oracle at corpus scale — their
-    # composed logic is hash-verified by the kg_build_scored /
-    # u4_triples_canonical fixture twins — but the driver now records
-    # their row counts again instead of bench-only timing
+    # rows-only corpus-scale composed runs (r5 ADVICE): no
+    # SQL-expressible oracle at corpus scale — their composed logic is
+    # hash-verified by the kg_build_scored / u4_triples_canonical fixture
+    # twins; the driver records their row counts
     "kg_build_related",
     "kg_triples_canonical",
     # ---- driver 50-row window boundary ----
-    # parked this round (two consecutive green rows r4+r5; semantics
-    # composed into kg_build_scored or covered by an in-window sibling;
-    # still oracle-paired + green in pytest parity)
-    "f8_valid_evidence",
-    "a4_decayed_cardinality",
-    "j5_jaccard_pairs",
-    "w1_knee_cutoffs",
-    "w6_entropy_zscore",
-    "tq_langid_profiles",
-    "tq_bpe_tokens",
-    "tq_winnow_fingerprints",
-    "dd_simhash",
+    # parked this round (two consecutive recorded green rows r5+r6;
+    # semantics composed into an in-window query; still oracle-paired +
+    # green in pytest parity)
+    "u1_md_mentions",
+    "u1_mixed_profiles",
+    "f7_pointless_counts",
+    "a3_idf",
+    "j1_link_exact",
+    "j2_link_basename",
+    "a9_related_with_symbols",
+    "a9_symbol_neighbors",
+    "tq_fingerprint",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

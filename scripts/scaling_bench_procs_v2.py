@@ -244,7 +244,7 @@ def run_level(n_execs: int, shard_dirs: list[str], passes: int,
     }
 
 
-POOL_PATH = os.path.join(REPO, "BENCH", "procs_runs_v2_r06.json")
+POOL_PATH = os.path.join(REPO, "BENCH", "procs_runs_v2_r07.json")
 
 
 def _git_sha() -> str:

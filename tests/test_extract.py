@@ -526,3 +526,60 @@ def test_yaml_ini_dispatch():
     ):
         assert profile_of(url) is want_fn, url
         assert profile_name_of(url) == want_name, url
+
+
+def test_inline_comment_full_quote_state():
+    """r6 ADVICE: a comment marker inside a LATER quoted segment is
+    literal — the strip scans with full quote state, not just a leading
+    quoted span — and an unterminated quote leaves the value whole."""
+    from gossiphs_spark.operators.extract import (_strip_inline_comment,
+                                                  extract_page_ini)
+
+    # unit: marker inside a non-leading quoted span survives; the real
+    # comment after it is cut
+    assert _strip_inline_comment('run "a # b" x # c', (" #",)) == 'run "a # b" x'
+    assert _strip_inline_comment("mix 'a ; b' # c", (" ;", " #")) == "mix 'a ; b'"
+    # unit: unterminated quote -> value untouched (never silently drop
+    # quoted content)
+    assert (_strip_inline_comment('pre "open # inside', (" #",))
+            == 'pre "open # inside')
+    # leading-quote and whole-value-comment behavior unchanged
+    assert _strip_inline_comment('"a # b" # c', (" #",)) == '"a # b"'
+    assert _strip_inline_comment(" # all comment", (" #",)) == ""
+    # end-to-end through the INI grammar: Alpha/Beta are literal value
+    # content, Gamma is comment prose
+    rows = extract_page_ini(
+        "u", b'cmd = run "Alpha # Beta" now # Gamma Note\n')
+    names = {(r[1], r[2]) for r in rows}
+    assert ("Alpha", "REF") in names and ("Beta", "REF") in names
+    assert not any(n[0] in ("Gamma", "Note") for n in names)
+    # unterminated quote end-to-end: the quoted tail still emits
+    rows = extract_page_ini("u", b'cmd = pre "Unter # Xray\n')
+    names = {(r[1], r[2]) for r in rows}
+    assert ("Unter", "REF") in names and ("Xray", "REF") in names
+
+
+def test_yaml_block_scalar_explicit_indicators():
+    """r6 ADVICE: block-scalar headers with explicit indentation
+    indicators (`|2`, `>+1`, `|-3`) are block introducers — their
+    literal content lines must not emit keys/values."""
+    from gossiphs_spark.operators.extract import extract_page_yaml
+
+    y = (b"title: DocE\n"
+         b"script: |2\n"
+         b"  fake_key: Cygnus value\n"
+         b"after: Phoenix up\n")
+    names = {(r[1], r[2]) for r in extract_page_yaml("u", y)}
+    assert ("DocE", "DEF") in names and ("Phoenix", "REF") in names
+    assert not any(n[0] in ("fake_key", "Cygnus") for n in names)
+    for intro in (b">+1", b"|-3", b"|3+", b">1-"):
+        y2 = (b"out: " + intro + b"  # note\n"
+              b"   Aquila literal\n"
+              b"next: Carina\n")
+        names2 = {(r[1], r[2]) for r in extract_page_yaml("u", y2)}
+        assert ("Carina", "REF") in names2, intro
+        assert not any(n[0] == "Aquila" for n in names2), intro
+    # a plain scalar value that merely STARTS with | is NOT a block
+    y3 = b"cells: | Vega | Altair |\n"
+    names3 = {(r[1], r[2]) for r in extract_page_yaml("u", y3)}
+    assert ("Vega", "REF") in names3 and ("Altair", "REF") in names3

@@ -155,3 +155,28 @@ def test_lineage_records_profile_counts(spark, tmp_path):
         assert pc and all(n > 0 for n in pc.values())
         total += sum(pc.values())
     assert total == 20  # every page counted exactly once across buckets
+
+
+def test_profile_counts_single_scan_matches_standalone(spark, tmp_path):
+    """r6 verdict item 6: the default build path tallies grammar profiles
+    INSIDE the extraction kernel (Spark accumulator side output — no
+    second corpus scan); the commit-log counters must equal the
+    standalone profile_counts job exactly."""
+    import collections
+    import json
+
+    from gossiphs_spark.operators.extract import profile_counts
+
+    out = str(tmp_path / "lins")
+    pages, _, _ = pages_df(spark, n_pages=30, seed=9)
+    lineage.materialize_triples(spark, pages, out, "run-ss", n_buckets=3)
+    with open(os.path.join(out, lineage.LINEAGE_FILE)) as f:
+        recs = [json.loads(line) for line in f]
+    merged: collections.Counter = collections.Counter()
+    for r in recs:
+        assert r["profile_counts"], "commit row missing profile counters"
+        merged.update(r["profile_counts"])
+    want = {r["profile"]: r["n_pages"]
+            for r in profile_counts(pages).collect()}
+    assert dict(merged) == want
+    assert sum(merged.values()) == 30
