@@ -583,3 +583,61 @@ def test_yaml_block_scalar_explicit_indicators():
     y3 = b"cells: | Vega | Altair |\n"
     names3 = {(r[1], r[2]) for r in extract_page_yaml("u", y3)}
     assert ("Vega", "REF") in names3 and ("Altair", "REF") in names3
+
+
+def test_strip_inline_comment_properties():
+    """Property suite for the quote-state scan (r6 ADVICE): on ANY input
+    the result is a prefix of the value, never raises, strips nothing
+    when no marker exists outside quotes, and is idempotent."""
+    from hypothesis import given, settings, strategies as st
+
+    from gossiphs_spark.operators.extract import _strip_inline_comment
+
+    alphabet = st.sampled_from(list("ab #;'\"=:x "))
+    values = st.text(alphabet=alphabet, min_size=0, max_size=40)
+
+    @given(val=values)
+    @settings(max_examples=400, deadline=None)
+    def check(val):
+        for markers in ((" #",), (" ;", " #")):
+            out = _strip_inline_comment(val, markers)
+            assert val.startswith(out)  # always a prefix
+            # idempotent: re-stripping the stripped value is a no-op
+            # UNLESS the first strip emptied it via the whole-value rule
+            if out:
+                assert _strip_inline_comment(out, markers) == out
+            # no marker anywhere -> untouched
+            if not any(m in val for m in markers) and not val.lstrip(
+            ).startswith(tuple(m.strip() for m in markers)):
+                assert out == val
+
+    check()
+
+
+def test_extract_page_kv_never_raises_and_offsets_slice():
+    """Fuzz the YAML/INI grammars with adversarial text: extraction must
+    never raise, and every emitted mention's (start, end) must slice the
+    emitted name out of the decoded blob byte-exactly (the offset
+    identity-anchor contract, SURVEY §2.9)."""
+    from hypothesis import given, settings, strategies as st
+
+    from gossiphs_spark.operators.extract import (extract_page_ini,
+                                                  extract_page_yaml)
+
+    alphabet = st.sampled_from(
+        list("azAZ09 \t#;'\"|>+-=:[](){},._\n") + ["Alpha", "Beta", ": ", " # "])
+    blobs = st.lists(alphabet, min_size=0, max_size=60).map(
+        lambda parts: "".join(parts).encode())
+
+    @given(blob=blobs)
+    @settings(max_examples=300, deadline=None)
+    def check(blob):
+        s = blob.decode()
+        for fn in (extract_page_yaml, extract_page_ini):
+            for row in fn("u", blob):
+                url, name, kind, a, b = row[0], row[1], row[2], row[3], row[4]
+                assert kind in ("DEF", "REF", "IMPORT", "NAMESPACE")
+                assert 0 <= a <= b <= len(s)
+                assert s[a:b] == name, (kind, name, s[a:b])
+
+    check()

@@ -180,3 +180,42 @@ def test_profile_counts_single_scan_matches_standalone(spark, tmp_path):
             for r in profile_counts(pages).collect()}
     assert dict(merged) == want
     assert sum(merged.values()) == 30
+
+
+def test_default_build_plan_runs_kernel_exactly_once(spark):
+    """Structural guard for the single-pass default build: after the
+    eager localCheckpoint, the triples plan must read the checkpointed
+    mention partitions (Scan ExistingRDD) in BOTH join branches and
+    contain NO extraction kernel (MapInPandas) — the kernel ran exactly
+    once, at checkpoint time. Complements the counter-equality test with
+    a plan-shape pin so removing the checkpoint is caught even if the
+    counters happen to agree."""
+    from gossiphs_spark.operators.extract import extract_mentions
+    from pyspark.sql import functions as F
+
+    pages, _, _ = pages_df(spark, n_pages=10, seed=9)
+    m = extract_mentions(
+        pages, columns=("url", "name", "kind", "start_byte")
+    ).localCheckpoint(eager=True)
+    titles = m.filter(F.col("kind") == "DEF").select(
+        "url", F.col("name").alias("subj"))
+    objs = (
+        m.filter(F.col("kind").isin("REF", "IMPORT"))
+        .groupBy("url", F.col("name").alias("obj"),
+                 F.when(F.col("kind") == "REF", F.lit("mentions"))
+                 .otherwise(F.lit("links_to")).alias("pred"))
+        .agg(F.min("start_byte").alias("start_byte"))
+    )
+    tri = (objs.join(titles, "url").filter(F.col("obj") != F.col("subj"))
+           .select("subj", "pred", "obj", "url", "start_byte"))
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "kernel re-executes in the triples DAG"
+    assert plan.count("Scan ExistingRDD") >= 2  # both branches read the ckpt
+    # and WITHOUT the checkpoint the kernel appears in both branches —
+    # the condition the guard exists for
+    m2 = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+    t2 = (m2.filter(F.col("kind") == "DEF")
+          .select("url", F.col("name").alias("subj"))
+          .join(m2.filter(F.col("kind") == "REF").select("url"), "url"))
+    plan2 = t2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInPandas") == 2
