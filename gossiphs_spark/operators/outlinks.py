@@ -32,8 +32,8 @@ from pyspark.sql.types import StringType
 @pandas_udf(StringType())
 def resolve_url(base: pd.Series, link: pd.Series) -> pd.Series:
     def one(b: str, l: str) -> str | None:
-        if l is None:
-            return None
+        if not isinstance(l, str):
+            return None  # null (None or pandas NaN) — no link
         l = l.strip().strip("\"'<>")
         if not l:
             return None
@@ -52,10 +52,21 @@ def resolve_outlinks(imports: DataFrame) -> DataFrame:
     ).filter(F.col("target").isNotNull())
 
 
-def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame) -> DataFrame:
+def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame,
+                           same_host_cap: int = 64) -> DataFrame:
     """J3 as an equi-join: outlink target == page url (exact), plus the
     same-host fallback as a second equi-join on registrable host —
-    mirroring the reference's exact-then-package-suffix ladder."""
+    mirroring the reference's exact-then-package-suffix ladder.
+
+    ``same_host_cap`` bounds the fallback's per-host destination set
+    (deterministic: first N page urls per host in lexical order). The
+    same-host signal is already weak — it says "somewhere on this site" —
+    so capping it loses little, while WITHOUT the cap a hub host with H
+    pages and U unmatched outlinks fans out H×U rows: one mega-host in a
+    web corpus turns the fallback join quadratic. With the cap the
+    worst case is ``same_host_cap × U`` — skew-safe at 100 TB."""
+    from pyspark.sql import Window
+
     resolved = resolve_outlinks(imports)
     p = pages.select(F.col("url").alias("target")).distinct()
     exact = resolved.join(p, "target").select(
@@ -64,13 +75,23 @@ def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame) -> DataFrame:
     )
     host = lambda c: F.regexp_extract(c, r"^[a-z]+://([^/]+)", 1)  # noqa: E731
     unmatched = resolved.join(p, "target", "left_anti")
+    host_pages = (
+        pages.select(F.col("url").alias("dst_url"))
+        .withColumn("host", host(F.col("dst_url")))
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("dst_url")),
+        )
+        .filter(F.col("_rn") <= same_host_cap)
+        .drop("_rn")
+    )
     by_host = (
         unmatched.withColumn("host", host(F.col("target")))
         .filter(F.col("host") != "")
         .join(
-            pages.select(F.col("url").alias("dst_url"))
-            .withColumn("host", host(F.col("dst_url")))
-            .distinct(),
+            host_pages,
             "host",
         )
         .select(

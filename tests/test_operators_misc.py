@@ -186,3 +186,23 @@ def test_langid_argmax_multiprofile(spark):
     assert got[1][0] == "en" and got[1][1] > 0
     assert got[2][0] == "rev" and got[2][1] > 0
     assert got[3] == ("unk", 0.0)
+
+
+def test_outlink_same_host_cap_bounds_hub_fanout(spark):
+    """The same-host fallback caps per-host destinations (deterministic
+    lexical-first) so one hub host cannot fan out H×U rows — the 100-TB
+    skew guard. Exact matches are never capped."""
+    imports = spark.createDataFrame(
+        [("https://other.com/src.html", "https://hub.com/missing.html")],
+        "url string, name string",
+    )
+    pages = spark.createDataFrame(
+        [(f"https://hub.com/p{i:03d}.html",) for i in range(10)], "url string"
+    )
+    got = link_outlinks_to_pages(imports, pages, same_host_cap=3).collect()
+    assert len(got) == 3
+    assert {r["dst_url"] for r in got} == {
+        "https://hub.com/p000.html", "https://hub.com/p001.html",
+        "https://hub.com/p002.html",
+    }  # deterministic lexical-first selection
+    assert all(r["match_kind"] == "same_host" for r in got)

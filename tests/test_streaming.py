@@ -122,3 +122,102 @@ def test_stream_dedup_by_content(spark, tmp_path):
     assert len(rows) == 20  # one survivor per distinct html
     assert len({bytes(r["html"]) for r in rows}) == 20
     assert "_chash" not in spark.sql("SELECT * FROM dedup_content").columns
+
+
+# ---- continuous KG maintenance (streaming/maintain.py) --------------------
+
+MAINT_SCHEMA = "url string, content string, source string"
+
+_V1 = [
+    ("doc://1", "alpha beta gamma alpha", "s"),
+    ("doc://2", "beta alpha delta", "s"),
+    ("doc://3", "gamma epsilon beta", "s"),
+    ("doc://4", "zeta epsilon zeta", "s"),
+    ("doc://6", "kappa lambdaX kappa", "s"),
+    ("doc://7", "lambdaX kappa kappa", "s"),
+]
+# doc://2 rewritten, doc://4 deleted (empty content), doc://5 created
+_CHANGED = [
+    ("doc://2", "omega gamma gamma", "s"),
+    ("doc://4", "", "s"),
+    ("doc://5", "alpha zeta omega", "s"),
+]
+_V2 = [p for p in _V1 if p[0] not in {"doc://2", "doc://4"}] + [
+    c for c in _CHANGED if c[1]
+]
+
+
+def _rebuild_related(spark, rows):
+    from gossiphs_spark.operators import textmode as tm
+
+    pages = spark.createDataFrame(rows, MAINT_SCHEMA)
+    fp = tm.filter_pointless(tm.mentions(pages), 3)
+    defs = fp.filter(F.col("kind") == "DEF")
+    return tm.related_pages(tm.edges(defs, fp.filter(F.col("kind") == "REF")), defs)
+
+
+def test_maintained_stream_state_equals_full_rebuild(spark, tmp_path):
+    """Two micro-batches (initial corpus, then a rewrite+delete+create
+    delta) through the foreachBatch splice driver must leave the store's
+    related table equal to a from-scratch rebuild of the final corpus —
+    the batch splice ≡ rebuild pin, carried across the streaming driver."""
+    import os
+    import time
+
+    from gossiphs_spark.streaming.maintain import maintain_related_stream
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    # one parquet FILE per micro-batch; the file source processes oldest
+    # mtime first, so space the mtimes explicitly
+    spark.createDataFrame(_V1, MAINT_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(landing)
+    first = max(
+        (os.path.join(landing, f) for f in os.listdir(landing)
+         if f.endswith(".parquet")), key=os.path.getmtime)
+    os.utime(first, (time.time() - 120, time.time() - 120))
+    spark.createDataFrame(_CHANGED, MAINT_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(landing)
+
+    q, store = maintain_related_stream(
+        spark, landing, MAINT_SCHEMA, state, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    man = store.manifest()
+    assert man is not None and man["batch_id"] >= 1  # two batches applied
+    m, s, rel, last_id = store.load(spark)
+    got = {(r["page"], r["other"], r["score"]) for r in rel.collect()}
+    want = {(r["page"], r["other"], r["score"])
+            for r in _rebuild_related(spark, _V2).collect()}
+    assert got == want and got  # non-vacuous
+    # the maintained mentions table equals a fresh extraction of V2
+    from gossiphs_spark.operators import textmode as tm
+    want_m = {(r["url"], r["name"], r["kind"]) for r in tm.mentions(
+        spark.createDataFrame(_V2, MAINT_SCHEMA)).collect()}
+    got_m = {(r["url"], r["name"], r["kind"]) for r in m.collect()}
+    assert got_m == want_m
+
+
+def test_maintain_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying a committed batch id
+    must be a no-op (same manifest, same state) — the dedup that makes
+    the store effectively-exactly-once."""
+    from gossiphs_spark.streaming.maintain import (RelatedStateStore,
+                                                   apply_batch)
+
+    store = RelatedStateStore(str(tmp_path / "state2"))
+    b0 = spark.createDataFrame(_V1, MAINT_SCHEMA)
+    assert apply_batch(spark, store, b0, 0) is True
+    man0 = store.manifest()
+    rel0 = {tuple(r) for r in store.load(spark)[2].collect()}
+    # replay batch 0 with DIFFERENT content: must be skipped entirely
+    b0_evil = spark.createDataFrame(_CHANGED, MAINT_SCHEMA)
+    assert apply_batch(spark, store, b0_evil, 0) is False
+    assert store.manifest() == man0
+    assert {tuple(r) for r in store.load(spark)[2].collect()} == rel0
+    # the next id applies normally
+    assert apply_batch(spark, store, spark.createDataFrame(
+        _CHANGED, MAINT_SCHEMA), 1) is True
+    assert store.manifest()["batch_id"] == 1
