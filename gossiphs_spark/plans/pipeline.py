@@ -555,9 +555,19 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
     of magnitude smaller than the triple stream, so the two mapping joins
     broadcast it — but only below ``cfg.broadcast_threshold_rows``: at
     10^12 docs the distinct-name dictionary can exceed broadcast limits,
-    in which case the maps stay shuffle joins (AQE may still promote)."""
+    in which case the maps stay shuffle joins (AQE may still promote).
+
+    The input is scanned THREE times by construction (subj-name branch,
+    obj-name branch, final mapping join), so it is cached here — without
+    this, every scan recomputes the caller's whole upstream plan (for an
+    extraction-built triple stream that was measured at 10 kernel
+    executions per page; with the cache plus the caller checkpointing its
+    mention table it is exactly 1). Cache, not localCheckpoint, so the
+    optimizer keeps real size stats for the broadcast decisions, and
+    evictable storage degrades to recompute instead of OOM at scale."""
     from gossiphs_spark.operators.canonicalize import canonical_entities
 
+    triples = triples.cache()
     names = (
         triples.select(F.col("subj").alias("name"))
         .union(triples.select(F.col("obj").alias("name")))

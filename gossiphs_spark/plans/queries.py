@@ -1566,6 +1566,9 @@ def kg_triples_canonical(spark, sf_dir):
 
     pages, _, _ = pages_df(spark, n_pages=120, seed=7)
     m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+    # one kernel pass: the titles/objs branches below would each re-run
+    # the extraction mapInPandas (same fix as lineage.materialize_triples)
+    m = m.localCheckpoint(eager=True)
     titles = m.filter(F.col("kind") == "DEF").select("url", F.col("name").alias("subj"))
     objs = (
         m.filter(F.col("kind").isin("REF", "IMPORT"))
