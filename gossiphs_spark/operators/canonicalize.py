@@ -177,6 +177,10 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
     """→ (name, entity_id, canonical_name): connected components of the
     verified similarity graph; entity_id = min member hash, canonical_name
     = lexicographically smallest member (deterministic)."""
+    # the dictionary feeds both the LSH pair derivation and the label
+    # seed — cache it so the caller's upstream (often a distinct over a
+    # corpus-scale stream) computes once per build, not per branch
+    names = names.cache()
     pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min, shingle_k)
     labels = names.select("name").distinct().withColumn("label", F.col("name"))
 
