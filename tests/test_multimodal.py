@@ -619,3 +619,40 @@ def test_png_chunk_walk_adversarial():
     # truncation at every boundary
     for cut in range(len(good)):
         assert _pixel_stats(good[:cut])["n_px"] >= 0
+
+
+def test_bmp_and_header_adversarial():
+    """Fuzz the remaining decoder surfaces the PNG/GIF suites don't
+    cover: _parse_bmp_pixels and _parse_image_header must return
+    stats-or-None on truncation at every boundary, random single-byte
+    corruption, and pure garbage — never an exception into the Arrow
+    batch."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import (_parse_bmp_pixels,
+                                                     _parse_image_header,
+                                                     _pixel_stats)
+
+    px = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (1, 2, 3)]]
+    good = _mk_bmp(2, 2, px)
+    base = _parse_bmp_pixels(good)
+    assert base is not None and base["n_px"] == 4
+    rnd = random.Random(99)
+    for cut in range(len(good)):
+        out = _parse_bmp_pixels(good[:cut])
+        assert out is None or out["n_px"] >= 0
+        _parse_image_header(good[:cut])  # must not raise
+    for _ in range(300):
+        bad = bytearray(good)
+        bad[rnd.randrange(len(bad))] ^= 1 << rnd.randrange(8)
+        st = _pixel_stats(bytes(bad))
+        assert st["n_px"] >= 0
+        _parse_image_header(bytes(bad))
+    for _ in range(200):
+        blob = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 200)))
+        assert _pixel_stats(blob)["n_px"] >= 0
+        _parse_image_header(blob)
+    # dimension lies: huge declared dims with a tiny payload decline
+    lie = bytearray(_mk_bmp(2, 2, px))
+    lie[18:22] = (1 << 30).to_bytes(4, "little")
+    assert _parse_bmp_pixels(bytes(lie)) is None
