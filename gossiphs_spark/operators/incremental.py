@@ -95,13 +95,28 @@ def _kept(m: DataFrame, stats: DataFrame) -> DataFrame:
 
 def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
                 related_old: DataFrame, changed_pages: DataFrame,
-                symbol_len_limit: int = 3):
-    """→ (mentions_new, stats_new, related_new, affected_pages).
+                symbol_len_limit: int = 3, return_touched: bool = False):
+    """→ (mentions_new, stats_new, related_new, affected_pages) — plus a
+    5th element when ``return_touched`` is set: ``{"urls": changed_urls,
+    "names": affected_names}``, the exact key sets whose state-table rows
+    can differ from the old state (mentions rows change only on changed
+    urls; stats rows only for affected names; related rows only for
+    affected pages). A bucketed state backend uses these to rewrite only
+    the buckets the delta touched (streaming/maintain.py).
 
     ``changed_pages`` carries new/updated page rows (url, content,
-    source); a page deletion is a changed page with empty content."""
+    source); a page deletion is a changed page with empty content.
+
+    Under ``return_touched`` the delta's mention table is eagerly
+    local-checkpointed: the touched-key collects plus the three table
+    writes would otherwise each re-run the extraction kernel on the
+    batch. The severed lineage is fine on this path because recovery is
+    the state store's versioned commit (replayed batches are skipped by
+    id), not Spark recompute."""
     changed_urls = changed_pages.select("url").distinct()
     new_m = tm.mentions(changed_pages)
+    if return_touched:
+        new_m = new_m.localCheckpoint(eager=True)
     old_slice = mentions_old.join(changed_urls, "url", "left_semi")
 
     mentions_new = (
@@ -121,6 +136,10 @@ def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
         .unionByName(changed_urls)
         .distinct()
     )
+    if return_touched:
+        # delta-bounded set consumed by four joins plus a bucket-id
+        # collect downstream — one computation instead of five
+        affected_pages = affected_pages.localCheckpoint(eager=True)
 
     # recompute slice: affected pages rebuild their related rows from
     # scratch, so the slice needs every edge INCIDENT to an affected page
@@ -165,4 +184,7 @@ def apply_delta(mentions_old: DataFrame, stats_old: DataFrame,
             affected_pages.withColumnRenamed("url", "page"), "page", "left_anti"
         ).unionByName(rel_slice)
     )
+    if return_touched:
+        touched = {"urls": changed_urls, "names": affected_names}
+        return mentions_new, stats_new, related_new, affected_pages, touched
     return mentions_new, stats_new, related_new, affected_pages

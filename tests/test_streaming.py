@@ -200,6 +200,75 @@ def test_maintained_stream_state_equals_full_rebuild(spark, tmp_path):
     assert got_m == want_m
 
 
+def test_maintain_commit_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r7-verdict weak component, fixed: a small micro-batch against
+    a bucketed state store must rewrite O(delta) bucket dirs — NOT the
+    full state — while the final state stays identical to a from-scratch
+    rebuild. Pinned by diffing the (table, bucket) → version manifest
+    across the two commits and checking the rewritten sets against the
+    delta's key-hash buckets computed independently (zlib.crc32 — the
+    same function as lineage.bucket_of's F.crc32)."""
+    import zlib
+
+    from gossiphs_spark.streaming.maintain import (RelatedStateStore,
+                                                   apply_batch)
+
+    NB = 16
+    # 48 pages in linked pairs: pages 2k/2k+1 share link{k}word (each page
+    # carries it twice → DEF+REF → a related pair), plus a per-page solo
+    # token. A single-page rewrite therefore affects only its own pair.
+    corpus = []
+    for k in range(24):
+        w = f"link{k:02d}word"
+        corpus.append((f"doc://p{2 * k}", f"{w} {w} solo{2 * k:03d}xx", "s"))
+        corpus.append((f"doc://p{2 * k + 1}", f"{w} {w} solo{2 * k + 1:03d}xx", "s"))
+    changed = [("doc://p0", "link00word link00word newz00word newz00word", "s")]
+    final_corpus = [p for p in corpus if p[0] != "doc://p0"] + changed
+
+    store = RelatedStateStore(str(tmp_path / "state3"), n_buckets=NB)
+    assert apply_batch(spark, store, spark.createDataFrame(
+        corpus, MAINT_SCHEMA), 0) is True
+    man0 = store.manifest()
+    assert apply_batch(spark, store, spark.createDataFrame(
+        changed, MAINT_SCHEMA), 1) is True
+    man1 = store.manifest()
+
+    def rewritten(table):
+        t0, t1 = man0["tables"][table], man1["tables"][table]
+        return {b for b in set(t0) | set(t1) if t0.get(b) != t1.get(b)}
+
+    def bucket(key):
+        return f"{zlib.crc32(key.encode()) % NB:05d}"
+
+    # mentions rows differ only on the changed url → exactly its bucket
+    assert rewritten("mentions") == {bucket("doc://p0")}
+    # stats rows differ only for the delta's names (old ∪ new version)
+    assert rewritten("stats") <= {
+        bucket(n) for n in ("link00word", "solo000xx", "newz00word")}
+    # related rows differ only for the affected pair
+    assert set() < rewritten("related") <= {
+        bucket("doc://p0"), bucket("doc://p1")}
+    # headline O(delta) claim: the micro-batch rewrote a small fraction
+    # of the populated buckets, not the state
+    populated = sum(len(man0["tables"][t]) for t in man0["tables"])
+    rewrote = sum(len(rewritten(t)) for t in man0["tables"])
+    assert populated >= 30 and rewrote <= 6
+    # untouched buckets kept their v0 dirs (no silent rewrite-in-place)
+    assert any(v == "v000000000000" for v in man1["tables"]["related"].values())
+
+    # ...and the delta-bounded commit still equals a from-scratch rebuild
+    m, s, rel, last_id = store.load(spark)
+    assert last_id == 1
+    got = {(r["page"], r["other"], r["score"]) for r in rel.collect()}
+    want = {(r["page"], r["other"], r["score"])
+            for r in _rebuild_related(spark, final_corpus).collect()}
+    assert got == want and got
+    from gossiphs_spark.operators import textmode as tm
+    want_m = {(r["url"], r["name"], r["kind"]) for r in tm.mentions(
+        spark.createDataFrame(final_corpus, MAINT_SCHEMA)).collect()}
+    assert {(r["url"], r["name"], r["kind"]) for r in m.collect()} == want_m
+
+
 def test_maintain_replayed_batch_is_skipped(spark, tmp_path):
     """foreachBatch is at-least-once: re-applying a committed batch id
     must be a no-op (same manifest, same state) — the dedup that makes
