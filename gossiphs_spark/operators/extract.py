@@ -488,8 +488,11 @@ _KV_DEF_KEYS = ("title", "name")
 # Block-scalar introducers: |/> with optional chomp (+/-) and explicit
 # indentation indicator (1-9), in either order (``|2``, ``>+1``, ``|2+``
 # are all valid YAML headers) — r6 ADVICE replaced the fixed six-tuple,
-# which missed every header carrying an explicit indent digit.
-_YAML_BLOCK_INTRO_RE = re.compile(r"^[|>](?:[0-9][+-]?|[+-][0-9]?)?$")
+# which missed every header carrying an explicit indent digit. The digit
+# class is [1-9]: YAML's indentation indicator excludes 0, so a plain
+# scalar value ``|0`` / ``>0`` must NOT be taken as a block introducer
+# (r7 ADVICE — it would swallow the following indented lines).
+_YAML_BLOCK_INTRO_RE = re.compile(r"^[|>](?:[1-9][+-]?|[+-][1-9]?)?$")
 
 
 def _strip_inline_comment(val: str, markers: tuple[str, ...]) -> str:
@@ -786,6 +789,7 @@ def extract_mentions(
     pages: DataFrame,
     columns: tuple[str, ...] = ALL_MENTION_COLS,
     profile_acc=None,
+    emit_profile_rows: bool = False,
 ) -> DataFrame:
     """pages(url, html, ...) → mentions via Arrow-batched mapInPandas.
 
@@ -805,7 +809,18 @@ def extract_mentions(
     computed anyway to pick the grammar — and adds one small dict per
     partition at iterator exhaustion. Zero extra jobs, zero extra corpus
     bytes vs the standalone ``profile_counts`` second scan; the hot
-    no-accumulator path is unchanged.
+    no-accumulator path is unchanged. Accumulators are at-least-once
+    under task retries; for an exactly-once count set
+    ``emit_profile_rows`` instead.
+
+    ``emit_profile_rows`` appends one sentinel row per page —
+    (url, name=<profile>, kind='PROFILE', offsets=-1) — to the kernel
+    output. Because these rows flow through the deterministic dataflow
+    (a retried task regenerates identical rows; only one task commit
+    wins), counting them downstream is exactly-once where an
+    accumulator would double-count (r7 verdict item 4). Downstream
+    stages filter on kind ∈ {DEF, REF, IMPORT, ...}, so the sentinels
+    drop out of every graph path untouched.
     """
     col_idx = [ALL_MENTION_COLS.index(c) for c in columns]
     schema = ", ".join(
@@ -822,11 +837,15 @@ def extract_mentions(
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                if counts is None:
+                if counts is None and not emit_profile_rows:
                     rows.extend(profile_of(url, html)(url, html))
                 else:
                     name = profile_name_of(url, html)
-                    counts[name] += 1
+                    if counts is not None:
+                        counts[name] += 1
+                    if emit_profile_rows:
+                        rows.append(
+                            (url, name, "PROFILE", -1, -1, -1, -1, -1, -1))
                     rows.extend(
                         _PROFILE_FNS[name.split(":", 1)[-1]](url, html))
             if rows:

@@ -219,3 +219,49 @@ def test_default_build_plan_runs_kernel_exactly_once(spark):
           .join(m2.filter(F.col("kind") == "REF").select("url"), "url"))
     plan2 = t2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("MapInPandas") == 2
+
+
+def test_profile_counts_immune_to_recompute(spark):
+    """r7 verdict item 4: the counters of record derive from the
+    kernel's deterministic PROFILE sentinel rows, so re-executing the
+    plan (Spark's model of a task retry / partition recompute) cannot
+    change them. The accumulator tally is the contrast: the same double
+    execution doubles it — at-least-once, which is why it is no longer
+    the recorded metric."""
+    from pyspark.sql import functions as F
+
+    from gossiphs_spark.operators.extract import (DictSumParam,
+                                                  extract_mentions,
+                                                  profile_counts)
+
+    pages, _, _ = pages_df(spark, n_pages=12, seed=3)
+    want = {r["profile"]: r["n_pages"]
+            for r in profile_counts(pages).collect()}
+
+    # rows path: two full executions of the SAME un-checkpointed plan
+    # (each .collect() re-runs the kernel) → identical counts both times
+    m = extract_mentions(
+        pages, columns=("url", "name", "kind", "start_byte"),
+        emit_profile_rows=True)
+
+    def counts():
+        return {
+            r["name"]: r["cnt"]
+            for r in m.filter(F.col("kind") == "PROFILE")
+            .groupBy("name").agg(F.count("*").alias("cnt")).collect()
+        }
+
+    assert counts() == want
+    assert counts() == want  # recompute: unchanged
+
+    # sentinels must not leak into the graph-facing kinds
+    kinds = {r["kind"] for r in m.select("kind").distinct().collect()}
+    assert "PROFILE" in kinds and kinds - {"PROFILE"}
+
+    # accumulator contrast: double execution double-counts
+    acc = spark.sparkContext.accumulator({}, DictSumParam())
+    m2 = extract_mentions(pages, columns=("url", "name", "kind"),
+                          profile_acc=acc)
+    m2.count()
+    m2.count()
+    assert {k: v // 2 for k, v in acc.value.items()} == want
