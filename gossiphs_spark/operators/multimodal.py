@@ -301,7 +301,11 @@ def _unfilter_pass(arr, h: int, w: int, bpp: int, budget: list):
             elif ft == 1:  # Sub — per-lane wrapping accumulate ≡ mod-256 cumsum
                 r = line.copy()
                 for lane in range(bpp):
-                    r[lane::bpp] = np.add.accumulate(r[lane::bpp])
+                    # dtype=uint8 keeps the accumulate wrapping in-type
+                    # (without it numpy upcasts to uint64 and correctness
+                    # would hang on the truncating reassignment)
+                    np.add.accumulate(
+                        r[lane::bpp], dtype=np.uint8, out=r[lane::bpp])
                 recon[y] = r
             else:  # Up — wrapping uint8 add ≡ mod-256
                 recon[y] = line + prev
