@@ -173,14 +173,20 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame,
 
 def canonical_entities(names: DataFrame, n_perms: int = 16,
                        rows_per_band: int = 4, jaccard_min: float = 0.6,
-                       max_iter: int = 10, shingle_k: int = 3) -> DataFrame:
+                       max_iter: int = 10, shingle_k: int = 3,
+                       cache_names: bool = True) -> DataFrame:
     """→ (name, entity_id, canonical_name): connected components of the
     verified similarity graph; entity_id = min member hash, canonical_name
-    = lexicographically smallest member (deterministic)."""
+    = lexicographically smallest member (deterministic).
+
+    ``cache_names=False`` is for callers that already cached (and own
+    the lifetime of) the dictionary — canonicalize_triples does, so it
+    can unpersist it the moment the entity table is materialized."""
     # the dictionary feeds both the LSH pair derivation and the label
     # seed — cache it so the caller's upstream (often a distinct over a
     # corpus-scale stream) computes once per build, not per branch
-    names = names.cache()
+    if cache_names:
+        names = names.cache()
     pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min, shingle_k)
     labels = names.select("name").distinct().withColumn("label", F.col("name"))
 

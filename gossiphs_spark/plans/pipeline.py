@@ -547,7 +547,8 @@ def build_graph(
 
 
 def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
-                         cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+                         cfg: PipelineConfig = PipelineConfig(),
+                         cached_out: list | None = None) -> DataFrame:
     """U4 post-stage (north_star): map subj/obj surface forms to canonical
     entities via blocking + MinHash-LSH components, then re-aggregate —
     near-duplicate surface forms collapse into one node before the graph
@@ -564,7 +565,16 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
     executions per page; with the cache plus the caller checkpointing its
     mention table it is exactly 1). Cache, not localCheckpoint, so the
     optimizer keeps real size stats for the broadcast decisions, and
-    evictable storage degrades to recompute instead of OOM at scale."""
+    evictable storage degrades to recompute instead of OOM at scale.
+
+    Cache lifetimes (r7 ADVICE — a long-lived session must not
+    accumulate storage): the name dictionary is unpersisted HERE, the
+    moment the entity table's count() materializes it (nothing scans
+    the dictionary after that). The ``triples`` and entity caches must
+    outlive the caller's final action on the returned plan, so they
+    cannot be released inside; pass ``cached_out`` (a list the two
+    DataFrames are appended to) and unpersist them after your action —
+    the contract queries do this via their detach step."""
     from gossiphs_spark.operators.canonicalize import canonical_entities
 
     triples = triples.cache()
@@ -572,6 +582,7 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
         triples.select(F.col("subj").alias("name"))
         .union(triples.select(F.col("obj").alias("name")))
         .distinct()
+        .cache()
     )
     ents = canonical_entities(
         names,
@@ -579,10 +590,14 @@ def canonicalize_triples(triples: DataFrame, jaccard_min: float = 0.6,
         rows_per_band=max(cfg.minhash_perms // cfg.minhash_bands, 1),
         jaccard_min=jaccard_min,
         shingle_k=cfg.shingle_size,
+        cache_names=False,
     ).cache()
     hint = (
         F.broadcast if ents.count() <= cfg.broadcast_threshold_rows else (lambda d: d)
     )
+    names.unpersist()  # entity table is materialized; dictionary is done
+    if cached_out is not None:
+        cached_out.extend((triples, ents))
     subj_map = ents.select(
         F.col("name").alias("subj"), F.col("canonical_name").alias("canon_subj")
     )

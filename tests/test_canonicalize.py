@@ -173,3 +173,32 @@ def test_propagation_fold_matches_two_join_semantics(spark, graph):
     assert got == want
     # the fold exits on the same iteration as the two-join check
     assert (got_iters, got_conv) == (want_iters, want_conv)
+
+
+def test_canonicalize_triples_cache_lifetimes(spark):
+    """r7 ADVICE: canonicalize_triples must not leak storage in a
+    long-lived session. The internal name-dictionary cache is released
+    inside the call (the entity count() is the last scan that needs it);
+    the triple/entity caches — which must outlive the caller's action —
+    are handed out via ``cached_out`` for the caller to unpersist."""
+    from gossiphs_spark.plans.pipeline import canonicalize_triples
+
+    spark.catalog.clearCache()
+
+    triples = spark.createDataFrame(
+        [("Exoplanet", "mentions", "Pulsar", "u1", 10),
+         ("ExoPlanet", "mentions", "Pulsar", "u1", 90)],
+        "subj string, pred string, obj string, url string, start_byte long",
+    )
+    cached: list = []
+    out = canonicalize_triples(triples, jaccard_min=0.5, cached_out=cached)
+    assert out.count() > 0  # the caller's action
+    assert len(cached) == 2 and all(df.is_cached for df in cached)
+    for df in cached:
+        df.unpersist(blocking=True)
+    assert not any(df.is_cached for df in cached)
+    # nothing else (in particular the internal name dictionary) lingers
+    # in the CacheManager — localCheckpoint storage is excluded here
+    # because the ContextCleaner reclaims it on GC, unlike cache(),
+    # which a CacheManager entry pins for the session's lifetime
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
