@@ -34,14 +34,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Ordering policy (r5 verdict item 5 / r5 ADVICE): the driver records
 # CORRECTNESS rows for the FIRST 50 names only, so the list ROTATES each
 # round — every oracle-paired query gets a recorded driver row at least
-# every other round. r7 rotation (r6 verdict item 3): the nine r6-parked
-# twins (f8_valid_evidence … dd_simhash) return to the window; parked
-# past the window are nine queries with two consecutive recorded green
-# rows (r5+r6) whose semantics an in-window query composes or subsumes
-# (per-stage linking/scoring twins live inside kg_build_scored; the a9
-# siblings share a9_related_pages' rollup; tq_winnow_fingerprints
-# supersedes tq_fingerprint). Everything stays oracle-paired and green in
-# pytest's oracle-parity suite regardless of window position
+# every other round. r8 rotation (r7 verdict item 3): the nine r7-parked
+# twins (u1_md_mentions … tq_fingerprint) return to the window; parked
+# past the window are the nine r7 returners — each now carrying two
+# consecutive recorded green rows (r6+r7) — plus j1_candidate_counts
+# (r6+r7 green; J1 semantics covered in-window by the returning
+# j1_link_exact), making room for the NEW j3_same_host_cap query (r7
+# ADVICE: the same-host skew cap oracle-paired on a fixture whose hosts
+# EXCEED the cap). Everything stays oracle-paired and green in pytest's
+# oracle-parity suite regardless of window position
 # (tests/test_oracle_parity.py).
 _QUERY_NAMES = [
     # KG core (SURVEY.md §2.1-2.6)
@@ -61,15 +62,20 @@ _QUERY_NAMES = [
     "a10_file_metadata",
     "a10_metadata_arrays",
     "a13_score_buckets",
-    "j1_candidate_counts",
     "o8_hub_damped_counts",
     "w4_related_filtered",
-    # returned to the window this round (parked r6; r6 verdict item 3)
-    "f8_valid_evidence",
-    "a4_decayed_cardinality",
-    "j5_jaccard_pairs",
-    "w1_knee_cutoffs",
-    "w6_entropy_zscore",
+    # NEW r8: same-host fallback cap binding (r7 ADVICE)
+    "j3_same_host_cap",
+    # returned to the window this round (parked r7; r7 verdict item 3)
+    "u1_md_mentions",
+    "u1_mixed_profiles",
+    "f7_pointless_counts",
+    "a3_idf",
+    "j1_link_exact",
+    "j2_link_basename",
+    "a9_related_with_symbols",
+    "a9_symbol_neighbors",
+    "tq_fingerprint",
     # scalar suite (§2.7)
     "x_scalar_suite",
     # training-data pipeline ops
@@ -77,15 +83,11 @@ _QUERY_NAMES = [
     "dd_embedding_neardup",
     "dd_minhash_lsh",
     "dd_ngram_jaccard",
-    "dd_simhash",
     "u4_canonical_components",
     "u4_triples_canonical",
     "tq_token_stats",
     "tq_quality",
     "tq_langid",
-    "tq_langid_profiles",
-    "tq_bpe_tokens",
-    "tq_winnow_fingerprints",
     "tq_source_curation",
     "ev_sessions",
     "ann_cosine_topk",
@@ -109,18 +111,19 @@ _QUERY_NAMES = [
     "kg_build_related",
     "kg_triples_canonical",
     # ---- driver 50-row window boundary ----
-    # parked this round (two consecutive recorded green rows r5+r6;
+    # parked this round (two consecutive recorded green rows r6+r7;
     # semantics composed into an in-window query; still oracle-paired +
     # green in pytest parity)
-    "u1_md_mentions",
-    "u1_mixed_profiles",
-    "f7_pointless_counts",
-    "a3_idf",
-    "j1_link_exact",
-    "j2_link_basename",
-    "a9_related_with_symbols",
-    "a9_symbol_neighbors",
-    "tq_fingerprint",
+    "f8_valid_evidence",
+    "a4_decayed_cardinality",
+    "j5_jaccard_pairs",
+    "w1_knee_cutoffs",
+    "w6_entropy_zscore",
+    "tq_langid_profiles",
+    "tq_bpe_tokens",
+    "tq_winnow_fingerprints",
+    "dd_simhash",
+    "j1_candidate_counts",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

@@ -53,7 +53,7 @@ def resolve_outlinks(imports: DataFrame) -> DataFrame:
 
 
 def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame,
-                           same_host_cap: int = 64) -> DataFrame:
+                           same_host_cap: int | None = 64) -> DataFrame:
     """J3 as an equi-join: outlink target == page url (exact), plus the
     same-host fallback as a second equi-join on registrable host —
     mirroring the reference's exact-then-package-suffix ladder.
@@ -64,7 +64,11 @@ def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame,
     so capping it loses little, while WITHOUT the cap a hub host with H
     pages and U unmatched outlinks fans out H×U rows: one mega-host in a
     web corpus turns the fallback join quadratic. With the cap the
-    worst case is ``same_host_cap × U`` — skew-safe at 100 TB."""
+    worst case is ``same_host_cap × U`` — skew-safe at 100 TB. Pass
+    ``None`` for the uncapped exact-reference semantics (r7 ADVICE:
+    callers needing every same-host pair must be able to say so); the
+    cap rule itself is oracle-paired by the j3_same_host_cap query on a
+    fixture whose hosts EXCEED the cap."""
     from pyspark.sql import Window
 
     resolved = resolve_outlinks(imports)
@@ -79,14 +83,17 @@ def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame,
         pages.select(F.col("url").alias("dst_url"))
         .withColumn("host", host(F.col("dst_url")))
         .distinct()
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("host").orderBy("dst_url")),
-        )
-        .filter(F.col("_rn") <= same_host_cap)
-        .drop("_rn")
     )
+    if same_host_cap is not None:
+        host_pages = (
+            host_pages.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("host").orderBy("dst_url")),
+            )
+            .filter(F.col("_rn") <= same_host_cap)
+            .drop("_rn")
+        )
     by_host = (
         unmatched.withColumn("host", host(F.col("target")))
         .filter(F.col("host") != "")

@@ -383,6 +383,57 @@ SELECT t.name, t.df, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM dftbl t LEFT JOIN keptm k ON t.name = k.name
 """
 
+# J3 same-host fallback with the skew cap binding: every host holds
+# ndocs/4 pages (>> cap 8), so the oracle must reproduce the exact
+# top-8-per-host-by-lexical-url rule or the value hash flips.
+ORACLES["j3_same_host_cap"] = """WITH
+j3pages AS (
+  SELECT 'https://h' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.org/p' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+j3links AS (
+  SELECT 'https://h' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.org/p' || CAST(doc_id AS VARCHAR) AS url,
+         'https://h' || CAST(((doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents)) % 4 AS VARCHAR)
+         || '.example.org/p'
+         || CAST((doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS VARCHAR) AS target
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT 'https://h' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.org/p' || CAST(doc_id AS VARCHAR) AS url,
+         'https://h' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.org/missing/' || CAST(doc_id AS VARCHAR) AS target
+  FROM documents WHERE doc_id < 30
+),
+j3exact AS (
+  SELECT l.url AS src_url, l.target AS dst_url, 'exact' AS match_kind
+  FROM j3links l JOIN (SELECT DISTINCT url FROM j3pages) p ON l.target = p.url
+),
+j3unmatched AS (
+  SELECT * FROM j3links l
+  WHERE NOT EXISTS (SELECT 1 FROM j3pages p WHERE p.url = l.target)
+),
+j3host_pages AS (
+  SELECT host, dst_url FROM (
+    SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           url AS dst_url,
+           ROW_NUMBER() OVER (
+             PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+             ORDER BY url) AS rn
+    FROM (SELECT DISTINCT url FROM j3pages)
+  ) WHERE rn <= 8
+),
+j3by_host AS (
+  SELECT u.url AS src_url, h.dst_url, 'same_host' AS match_kind
+  FROM j3unmatched u
+  JOIN j3host_pages h
+    ON regexp_extract(u.target, '^[a-z]+://([^/]+)', 1) = h.host
+  WHERE regexp_extract(u.target, '^[a-z]+://([^/]+)', 1) <> ''
+)
+SELECT * FROM j3exact UNION ALL SELECT * FROM j3by_host
+"""
+
 ORACLES["w4_related_filtered"] = KG + f""",
 w4rel AS (SELECT * FROM related WHERE {DOCN.format(col='page')} < 50),
 w4ds AS (SELECT DISTINCT page, score AS s FROM w4rel),
@@ -881,31 +932,42 @@ FROM cc_labels
 # F11 → X8 buckets → W1 knee+cap → J7 fallback → A8/A9 rollup) is
 # recomputed relationally, mirroring the pipeline's float ops exactly
 # (same operation order; no mid-chain rounding — the X8 floor and the
-# integer rollup absorb sub-ulp drift).
-ORACLES["kg_build_scored"] = """
-WITH ids AS (SELECT CAST(unnest(range(44)) AS BIGINT) AS i),
+# integer rollup absorb sub-ulp drift). The corpus size is a template
+# parameter (r7 verdict item 7): the CONTRACT pair runs at 500 pages
+# (480 regular + 20 solo — knee/entropy branches over ~50-candidate
+# groups), while the original 44-page twin stays registered for the
+# fast parity pytest (kg_build_scored_sql(40, 4)).
+
+
+def kg_build_scored_sql(n_reg: int, n_solo: int) -> str:
+    return _KG_BUILD_SCORED_TPL.format(
+        n_all=n_reg + n_solo, n_reg=n_reg, n_solo=n_solo)
+
+
+_KG_BUILD_SCORED_TPL = """
+WITH ids AS (SELECT CAST(unnest(range({n_all})) AS BIGINT) AS i),
 pg AS (
   SELECT i,
     'https://w.example/d' || CAST(i // 5 AS VARCHAR) || '/p'
       || CAST(i AS VARCHAR) || '.html' AS url,
-    CASE WHEN i >= 40 THEN 'Solo' || CAST(i AS VARCHAR)
+    CASE WHEN i >= {n_reg} THEN 'Solo' || CAST(i AS VARCHAR)
          WHEN i % 5 = 0 THEN 'Hub1'
          ELSE 'Ent' || CAST(i % 10 AS VARCHAR) END AS title,
-    (i < 40 AND i % 8 <> 7) AS has_ev,
-    (i < 40 AND i % 4 <> 3) AS has_imp,
+    (i < {n_reg} AND i % 8 <> 7) AS has_ev,
+    (i < {n_reg} AND i % 4 <> 3) AS has_imp,
     'https://w.example/d' || CAST(((i + 1) % 10) // 5 AS VARCHAR) || '/p'
       || CAST((i + 1) % 10 AS VARCHAR) || '.html' AS imp_target
   FROM ids
 ),
 mdefs AS (SELECT url, title AS name FROM pg),
 mrefs AS (
-  SELECT url, 'Hub1' AS name FROM pg WHERE i < 40
-  UNION ALL SELECT url, 'Ent' || CAST((i + 1) % 10 AS VARCHAR) FROM pg WHERE i < 40
-  UNION ALL SELECT url, 'Ent' || CAST((i + 1) % 10 AS VARCHAR) FROM pg WHERE i < 40
-  UNION ALL SELECT url, 'Ent' || CAST((i + 3) % 10 AS VARCHAR) FROM pg WHERE i < 40
-  UNION ALL SELECT url, 'Alpha.Ent' || CAST((i + 7) % 10 AS VARCHAR) FROM pg WHERE i < 40
-  UNION ALL SELECT url, 'Solo' || CAST(40 + (i // 8) % 4 AS VARCHAR)
-    FROM pg WHERE i < 40 AND i % 8 = 7
+  SELECT url, 'Hub1' AS name FROM pg WHERE i < {n_reg}
+  UNION ALL SELECT url, 'Ent' || CAST((i + 1) % 10 AS VARCHAR) FROM pg WHERE i < {n_reg}
+  UNION ALL SELECT url, 'Ent' || CAST((i + 1) % 10 AS VARCHAR) FROM pg WHERE i < {n_reg}
+  UNION ALL SELECT url, 'Ent' || CAST((i + 3) % 10 AS VARCHAR) FROM pg WHERE i < {n_reg}
+  UNION ALL SELECT url, 'Alpha.Ent' || CAST((i + 7) % 10 AS VARCHAR) FROM pg WHERE i < {n_reg}
+  UNION ALL SELECT url, 'Solo' || CAST({n_reg} + (i // 8) % {n_solo} AS VARCHAR)
+    FROM pg WHERE i < {n_reg} AND i % 8 = 7
 ),
 np AS (
   SELECT COUNT(DISTINCT url) AS n FROM (
@@ -1151,6 +1213,8 @@ SELECT page, other, CAST(SUM(w) AS BIGINT) AS score
 FROM (SELECT * FROM rin UNION ALL SELECT * FROM rout)
 WHERE page <> other GROUP BY page, other HAVING SUM(w) > 0
 """
+
+ORACLES["kg_build_scored"] = kg_build_scored_sql(480, 20)
 
 # kg_delta_related: the incremental splice equals a from-scratch rebuild
 # (pinned by tests/test_incremental.py), and the rebuilt graph over the

@@ -391,6 +391,42 @@ def o8_hub_damped_counts(spark, sf_dir):
     )
 
 
+def j3_same_host_cap(spark, sf_dir):
+    """J3 same-host fallback WITH the skew cap exercised (r7 ADVICE: the
+    44-page kg_build_scored fixture can never exceed same_host_cap=64, so
+    a mis-set cap was invisible to oracle parity). Here every host holds
+    ndocs/4 pages — far over the cap of 8 at every SF — and the oracle
+    applies the identical top-N-per-host-by-lexical-url rule, so a cap
+    off-by-one or a broken ordering flips the value hash. Outlinks are
+    absolute urls (resolution ladder step 1, ref graph.rs:51-95), half
+    exact-matching a page, half dangling on an existing host."""
+    from gossiphs_spark.operators.outlinks import link_outlinks_to_pages
+
+    d = load_table(spark, sf_dir, "documents")
+    n = _ndocs(spark, sf_dir)
+    page_url = lambda doc: F.concat(  # noqa: E731
+        F.lit("https://h"), (doc % 4).cast("string"),
+        F.lit(".example.org/p"), doc.cast("string"),
+    )
+    pages = d.select(page_url(F.col("doc_id")).alias("url"))
+    src = d.filter(F.col("doc_id") < 30)
+    links = src.select(
+        page_url(F.col("doc_id")).alias("url"),
+        page_url((F.col("doc_id") * 7 + 1) % n).alias("name"),
+    ).unionByName(
+        src.select(
+            page_url(F.col("doc_id")).alias("url"),
+            F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 4).cast("string"),
+                F.lit(".example.org/missing/"), F.col("doc_id").cast("string"),
+            ).alias("name"),
+        )
+    )
+    return link_outlinks_to_pages(links, pages, same_host_cap=8).select(
+        "src_url", "dst_url", "match_kind"
+    )
+
+
 def w4_related_filtered(spark, sf_dir):
     """W4 output-level related filter (wired into build_graph; ref
     api.rs:69-107): knee/max-drop cutoff per page, min-floor 2, hard cap 4.
@@ -1053,6 +1089,17 @@ def _detach(spark, df):
     return spark.createDataFrame(rows, schema)
 
 
+def _detach_cached(spark, df, cached):
+    """Scoped :func:`_detach`: materialize a small result, then unpersist
+    exactly the caches in ``cached`` (e.g. canonicalize_triples'
+    ``cached_out``) — other queries sharing the session keep theirs."""
+    rows = df.collect()
+    schema = df.schema
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
 def _detach_graph(spark, df, g):
     """Scoped :func:`_detach`: materialize a small result, then release
     exactly the caches (and the scratch stage) the given build created —
@@ -1480,19 +1527,29 @@ def kg_build_scored(spark, sf_dir):
     interacting in ONE build whose related table hash-matches a DuckDB
     CTE twin.
 
-    Fixture (44 html pages, range-generated identically in the oracle):
-    titles give Hub1 df=8 (damped at ratio 0.15), Ent{1-4,6-9} df=4
-    (4-candidate knee groups), Solo40-43 df=1 (J7 fallback via gated-page
-    refs); bodies carry occ=2 refs and dotted Alpha.EntK refs (J2);
-    anchors resolve absolute / scheme-relative / ../relative hrefs (U3)
-    to one def page (+150); directory blocks of 5 give same_pkg (+100);
-    snapshots e0-e5 at day k with a dropped 44-page 'fat' snapshot (F8)
-    drive decayed Jaccard. def_limit=3 binds both the knee head and the
-    hard cap. The extraction kernel never sees the oracle's arithmetic —
-    any U1/scoring/pruning deviation flips the value hash."""
+    Contract fixture = 500 pages (r7 verdict item 7): Hub1 df=96
+    (damped at ratio 0.15, limit 75), Ent{1-4,6-9} df=48 — the knee,
+    entropy, and z-score branches run over ~50-candidate groups instead
+    of the original 4 — and Solo480-499 df=1 (J7 fallback via
+    gated-page refs). The 44-page variant stays as the fast pytest twin
+    (_kg_build_scored_impl(spark, 40, 4) vs kg_build_scored_sql(40, 4)).
+    The extraction kernel never sees the oracle's arithmetic — any
+    U1/scoring/pruning deviation flips the value hash."""
+    return _kg_build_scored_impl(spark, 480, 20)
+
+
+def _kg_build_scored_impl(spark, n_reg: int, n_solo: int):
+    """Range-generated composed-build fixture, size-parameterized: n_reg
+    regular pages (titles Hub1 / Ent{0-9}, occ=2 bodies, dotted J2 refs,
+    U3 anchors — absolute / scheme-relative / ../relative — resolving to
+    pages 0-9, directory blocks of 5 for same_pkg, snapshots e0-e5 at
+    day k with a dropped all-page 'fat' snapshot) plus n_solo solo pages
+    (unique defs referenced only from evidence-gated pages → J7).
+    def_limit=3 binds both the knee head and the hard cap."""
     from gossiphs_spark.config import PipelineConfig
     from gossiphs_spark.plans.pipeline import build_graph
 
+    n_all = n_reg + n_solo
     i = F.col("id")
     s = lambda c: c.cast("string")  # noqa: E731
     url_of = lambda pid: F.concat(  # noqa: E731
@@ -1500,12 +1557,12 @@ def kg_build_scored(spark, sf_dir):
         F.lit("/p"), s(pid), F.lit(".html"),
     )
     title = (
-        F.when(i >= 40, F.concat(F.lit("Solo"), s(i)))
+        F.when(i >= n_reg, F.concat(F.lit("Solo"), s(i)))
         .when(i % 5 == 0, F.lit("Hub1"))
         .otherwise(F.concat(F.lit("Ent"), s(i % 10)))
     )
     k1, k3, k7 = (i + 1) % 10, (i + 3) % 10, (i + 7) % 10
-    body = F.when(i >= 40, F.lit("word")).otherwise(
+    body = F.when(i >= n_reg, F.lit("word")).otherwise(
         F.concat_ws(
             " ", F.lit("Hub1"),
             F.concat(F.lit("Ent"), s(k1)), F.concat(F.lit("Ent"), s(k1)),
@@ -1515,8 +1572,9 @@ def kg_build_scored(spark, sf_dir):
         )
     )
     solo_ref = F.when(
-        (i < 40) & (i % 8 == 7),
-        F.concat(F.lit(" Solo"), s(F.lit(40) + (F.floor(i / 8).cast("long") % 4))),
+        (i < n_reg) & (i % 8 == 7),
+        F.concat(F.lit(" Solo"),
+                 s(F.lit(n_reg) + (F.floor(i / 8).cast("long") % n_solo))),
     ).otherwise(F.lit(""))
     jd = s(F.floor(k1 / 5).cast("long"))
     target = (
@@ -1525,18 +1583,18 @@ def kg_build_scored(spark, sf_dir):
         .otherwise(F.concat(F.lit("../d"), jd, F.lit("/p"), s(k1), F.lit(".html")))
     )
     anchor = F.when(
-        (i < 40) & (i % 4 != 3),
+        (i < n_reg) & (i % 4 != 3),
         F.concat(F.lit('<a href="'), target, F.lit('">x</a>')),
     ).otherwise(F.lit(""))
     html = F.concat(
         F.lit("<html><head><title>"), title, F.lit("</title></head><body><p>"),
         body, solo_ref, F.lit("</p>"), anchor, F.lit("</body></html>"),
     )
-    r = spark.range(44)
+    r = spark.range(n_all)
     pages = r.select(url_of(i).alias("url"), F.encode(html, "utf-8").alias("html"))
 
     base_ep = 1704067200  # 2024-01-01T00:00:00Z
-    ev_of = lambda k: r.filter((i < 40) & (i % 8 != 7)).select(  # noqa: E731
+    ev_of = lambda k: r.filter((i < n_reg) & (i % 8 != 7)).select(  # noqa: E731
         url_of(i).alias("url"),
         F.concat(F.lit("e"), s(k)).alias("evidence_id"),
         F.timestamp_seconds(F.lit(base_ep) + k * 86400).alias("ts"),
@@ -1581,7 +1639,9 @@ def kg_triples_canonical(spark, sf_dir):
         objs.join(titles, "url").filter(F.col("obj") != F.col("subj"))
         .select("subj", "pred", "obj", "url", "start_byte")
     )
-    return _detach(spark, canonicalize_triples(triples))
+    cached: list = []
+    return _detach_cached(
+        spark, canonicalize_triples(triples, cached_out=cached), cached)
 
 
 def kg_pagerank(spark, sf_dir):
@@ -1667,10 +1727,15 @@ def u4_triples_canonical(spark, sf_dir):
         F.lit("s").alias("source"),
     )
     triples = tm.triples(tm.mentions(pages), 3)
-    out = canonicalize_triples(triples)
-    return out.select(
-        "subj", "pred", "obj", "url",
-        F.col("start_byte").cast("long").alias("start_byte"),
+    cached: list = []
+    out = canonicalize_triples(triples, cached_out=cached)
+    return _detach_cached(
+        spark,
+        out.select(
+            "subj", "pred", "obj", "url",
+            F.col("start_byte").cast("long").alias("start_byte"),
+        ),
+        cached,
     )
 
 

@@ -113,12 +113,13 @@ FLAGSHIPS = {
     "mm_image_dims",
     "mm_pixel_stats",
     "mm_png_pixels",
-    # r6 rotation (r5 verdict item 5): the five r5-parked twins and the
-    # two rows-only composed corpus runs must hold a recorded row
+    # r6 rotation (r5 verdict item 5): the rows-only composed corpus
+    # runs must hold a recorded row
     "mm_gif_pixels",
     "u1_profile_counts",
-    "j1_candidate_counts",
     "a13_score_buckets",
+    # r8: a NEW query's first recorded row must come from the driver
+    "j3_same_host_cap",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
@@ -150,3 +151,20 @@ def test_contract_names_resolve_and_pair():
         if name != "mm_decode_stub":  # the one documented rows-only entry
             assert name in oracles, f"demoted query {name} lost its oracle"
     assert set(oracles) <= set(qs)
+
+
+def test_kg_build_scored_small_twin(spark, ddb):
+    """The original 44-page composed-build fixture, kept as the FAST
+    engine-vs-engine twin after the contract pair moved to 500 pages
+    (r7 verdict item 7) — a second point on the size axis: a bug that
+    happens to cancel at one corpus size is unlikely to cancel at both."""
+    from gossiphs_spark.plans.oracles import kg_build_scored_sql
+    from gossiphs_spark.plans.queries import _kg_build_scored_impl
+
+    sdf = _kg_build_scored_impl(spark, 40, 4)
+    srows = [tuple(r) for r in sdf.collect()]
+    ores = ddb.sql(kg_build_scored_sql(40, 4))
+    orows = ores.fetchall()
+    assert [d[0] for d in ores.description] == sdf.columns
+    assert len(srows) == len(orows) > 0
+    assert canon(srows, [0, 1, 2]) == canon(orows, [0, 1, 2])
