@@ -2,6 +2,7 @@
 (/root/reference/src/main.rs:234-247 dispatch):
 
   relate    related pages for --url (or all) → JSON lines   (S4, main.rs:266-286)
+  interactive  stdin url loop → top-k related JSON          (main.rs:443-478)
   export    node/edge tables with dense ids → JSONL/parquet (S5, main.rs:288-327)
   matrix    page×page score matrix → CSV                    (S6, main.rs:329-441)
   triples   materialize triples with lineage/resume         (O4 cache analog)
@@ -79,6 +80,44 @@ def cmd_relate(spark, args):
     rows = rel.orderBy(F.desc("score"), "other").collect()
     for r in rows:
         print(json.dumps({"page": r["page"], "other": r["other"], "score": r["score"]}))
+
+
+def cmd_interactive(spark, args):
+    """REPL analog of the reference's `interactive` subcommand
+    (/root/reference/src/main.rs:443-478: build the graph ONCE, then loop
+    prompting for a path and printing {name, related} JSON until EOF).
+
+    Spark form: the related table is built and CACHED once; each prompt
+    is a filtered+limited distributed query against the cache, so only
+    the top-k rows ever reach the driver — the loop works unchanged
+    whether `related` is 10^3 rows or 10^10. `--dry` builds and exits
+    (main.rs:457-459)."""
+    g = _build(spark, args)
+    rel = g.related.cache()
+    n = rel.count()  # materializes the cache; one corpus build total
+    if args.dry:
+        print(json.dumps({"dry": True, "related_rows": n}))
+        return
+    print(f"graph ready ({n} related pairs); one url per line, EOF ends",
+          file=sys.stderr)
+    stream = getattr(args, "input", None) or sys.stdin
+    for line in stream:
+        url = line.strip()
+        if not url:
+            continue
+        rows = (
+            rel.filter(F.col("page") == url)
+            .orderBy(F.desc("score"), "other")
+            .limit(args.top_k)
+            .collect()
+        )
+        print(json.dumps({
+            "name": url,
+            "related": [{"name": r["other"], "score": r["score"]}
+                        for r in rows],
+        }))
+        sys.stdout.flush()
+    rel.unpersist()
 
 
 def cmd_export(spark, args):
@@ -174,6 +213,11 @@ def main(argv=None):
     s.add_argument("--url")
     s.add_argument("--ignore-zero", action="store_true")
 
+    s = sub.add_parser("interactive")
+    s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--dry", action="store_true",
+                   help="build the graph and exit (ref main.rs:457)")
+
     s = sub.add_parser("export")
     s.add_argument("--out", required=True)
     s.add_argument("--format", choices=["jsonl", "parquet", "neo4j"],
@@ -215,6 +259,7 @@ def main(argv=None):
     try:
         {
             "relate": cmd_relate,
+            "interactive": cmd_interactive,
             "export": cmd_export,
             "matrix": cmd_matrix,
             "triples": cmd_triples,

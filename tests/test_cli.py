@@ -41,6 +41,45 @@ def test_relate_outputs_json(corpus_dirs):
     assert lines and all(l["score"] > 0 for l in lines)
 
 
+def test_interactive_repl_two_rounds(corpus_dirs):
+    """`interactive` analog (ref src/main.rs:443-478): the graph builds
+    ONCE, then each stdin line answers with a {name, related} JSON
+    object; EOF exits cleanly. Two prompt rounds, answers cross-checked
+    against the one-shot `relate` output for the same urls."""
+    pages_dir, ev_dir, _ = corpus_dirs
+    want = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                   "relate")
+    by_page: dict[str, list] = {}
+    for l in want.stdout.splitlines():
+        if l.startswith("{"):
+            d = json.loads(l)
+            by_page.setdefault(d["page"], []).append(d)
+    urls = sorted(u for u, rows in by_page.items() if len(rows) >= 2)[:2]
+    assert len(urls) == 2
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gossiphs_spark.cli",
+         "--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+         "interactive", "--top-k", "3"],
+        input="\n".join(urls) + "\n",
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert [d["name"] for d in out] == urls
+    for d in out:
+        assert 0 < len(d["related"]) <= 3
+        want_top = sorted(by_page[d["name"]],
+                          key=lambda x: (-x["score"], x["other"]))[:3]
+        assert [(x["name"], x["score"]) for x in d["related"]] == [
+            (x["other"], x["score"]) for x in want_top]
+
+    dry = run_cli("--pages", pages_dir, "--evidence", ev_dir, "--cores", "4",
+                  "interactive", "--dry")
+    assert dry.returncode == 0, dry.stderr[-2000:]
+    assert json.loads(dry.stdout.strip().splitlines()[-1])["dry"] is True
+
+
 def test_export_and_diff(corpus_dirs, tmp_path):
     pages_dir, ev_dir, half_dir = corpus_dirs
     out = str(tmp_path / "export")
