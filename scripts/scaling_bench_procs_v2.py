@@ -244,7 +244,11 @@ def run_level(n_execs: int, shard_dirs: list[str], passes: int,
     }
 
 
-POOL_PATH = os.path.join(REPO, "BENCH", "procs_runs_v2_r07.json")
+# round-tagged pool file (r8): each round's pairs accumulate in their
+# own record; override with SPARK_GRAFT_POOL_FILE to extend a prior pool
+POOL_PATH = os.path.join(
+    REPO, "BENCH",
+    os.environ.get("SPARK_GRAFT_POOL_FILE", "procs_runs_v2_r08.json"))
 
 
 def _git_sha() -> str:

@@ -24,8 +24,16 @@ Probe notes:
   query (the DuckDB twin's exact arithmetic depends on every page), so
   its cost is the ~30-stage DAG, constant in sf by construction.
 
-Writes BENCH/sf1_spot_r07.json; paste the table into BENCH/NOTES_r07.md.
-Usage: python scripts/sf1_spot_bench.py [k_hi=10]
+r8 (r7 verdict item 6): the extraction-only kernel and the full
+composed build also run a THIRD decade (k=100 — 20k pages), so
+super-linearity hiding beyond the 10x window shows up as a growing
+consecutive-decade ratio (healthy: t(100x)/t(10x) ~ 10 ~ t(10x)/t(1x),
+modulo fixed stage overhead deflating the first decade). The
+extraction/build pair attributes any blowup: kernel linear + build
+super-linear = a graph stage, not the scan.
+
+Writes BENCH/sf1_spot_<tag>.json; paste the table into BENCH/NOTES_<tag>.md.
+Usage: python scripts/sf1_spot_bench.py [tag=r08]
 """
 
 from __future__ import annotations
@@ -139,23 +147,39 @@ def probe_embedding_neardup(spark, k):
     return neardup_pairs(emb, n_centroids=n_labels, threshold=0.6)
 
 
+def probe_extract_only(spark, k):
+    """The Arrow extraction kernel ALONE over the same distributed page
+    generator the build probe uses — the linear yardstick the composed
+    probes are judged against."""
+    from gossiphs_spark.datagen import pages_df_dist
+    from gossiphs_spark.operators.extract import extract_mentions
+
+    pages, _ = pages_df_dist(
+        spark, n_pages=200 * k, seed=7, partitions=max(8, 4 * k))
+    return extract_mentions(
+        pages, columns=("url", "name", "kind", "start_byte"))
+
+
+# probe -> (fn, k list). The extraction/build pair runs three decades
+# (1, 10, 100); the rest keep the two-decade check from r6/r7.
 PROBES = {
-    "kg_build_related": probe_build_related,
-    "kg_triples_canonical": probe_triples_canonical,
-    "kg_delta_related": probe_delta_related,
-    "dd_embedding_neardup": probe_embedding_neardup,
+    "extract_only": (probe_extract_only, (1, 10, 100)),
+    "kg_build_related": (probe_build_related, (1, 10, 100)),
+    "kg_triples_canonical": (probe_triples_canonical, (1, 10)),
+    "kg_delta_related": (probe_delta_related, (1, 10)),
+    "dd_embedding_neardup": (probe_embedding_neardup, (1, 10)),
 }
 
 
 def main() -> None:
     from gossiphs_spark.session import get_spark
 
-    k_hi = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r08"
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    results: dict = {"k_hi": k_hi, "probes": {}}
-    for name, fn in PROBES.items():
+    results: dict = {"tag": tag, "probes": {}}
+    for name, (fn, ks) in PROBES.items():
         rec = {}
-        for k in (1, k_hi):
+        for k in ks:
             # fresh session per measurement: no cross-probe cache reuse
             spark = get_spark(app_name=f"sf1spot_{name}_{k}", cores=32,
                               shuffle_partitions=32)
@@ -165,13 +189,16 @@ def main() -> None:
             rec[f"k{k}"] = {"sec": round(dt, 2), "rows": n}
             spark.stop()
             print(f"{name} k={k}: {dt:.1f}s rows={n}", flush=True)
-        t_ratio = rec[f"k{k_hi}"]["sec"] / max(rec["k1"]["sec"], 1e-9)
-        r_ratio = rec[f"k{k_hi}"]["rows"] / max(rec["k1"]["rows"], 1)
-        rec["time_ratio"] = round(t_ratio, 2)
-        rec["row_ratio"] = round(r_ratio, 2)
+        rec["decades"] = {}
+        for lo, hi in zip(ks, ks[1:]):
+            t_ratio = rec[f"k{hi}"]["sec"] / max(rec[f"k{lo}"]["sec"], 1e-9)
+            r_ratio = rec[f"k{hi}"]["rows"] / max(rec[f"k{lo}"]["rows"], 1)
+            rec["decades"][f"k{lo}->k{hi}"] = {
+                "time_ratio": round(t_ratio, 2), "row_ratio": round(r_ratio, 2)}
+            print(f"{name} k{lo}->k{hi}: time x{t_ratio:.1f} "
+                  f"rows x{r_ratio:.1f}", flush=True)
         results["probes"][name] = rec
-        print(f"{name}: time x{t_ratio:.1f} rows x{r_ratio:.1f}", flush=True)
-    with open(os.path.join(REPO, "BENCH", "sf1_spot_r07.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"sf1_spot_{tag}.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 
