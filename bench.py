@@ -31,12 +31,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # corpus-scale composed runs kg_build_related / kg_triples_canonical
 # rejoined the driver contract as rows-only entries in r6 (r5 ADVICE),
 # so _BENCH_ONLY is now a no-op safety net that only fires if they ever
-# leave it again. kg_triples_
-# canonical still clears the whole session cache (_detach — its internal
-# ents cache isn't surfaced for scoped release), so it runs LAST;
-# kg_build_related keeps its historical tail position so per-query
-# timings stay comparable across rounds; mm_decode_stub is merely
-# rows-only and tags along to keep the oracle-paired block contiguous.
+# leave it again. Since r8 kg_triples_canonical releases exactly its own
+# caches (_detach_cached over canonicalize_triples' cached_out), so the
+# tail position is purely historical — per-query timings stay comparable
+# across rounds; kg_build_related likewise keeps its tail slot;
+# mm_decode_stub is merely rows-only and tags along to keep the
+# oracle-paired block contiguous.
 _RUN_LAST = ("mm_decode_stub", "kg_build_related", "kg_triples_canonical")
 _BENCH_ONLY = ("kg_build_related", "kg_triples_canonical")
 
