@@ -495,6 +495,30 @@ def test_inline_comments_and_block_scalars():
         assert s[a:b] == name
 
 
+def test_yaml_block_intro_grammar_boundary():
+    """The block-scalar header grammar, probed at its exact boundary
+    (r6+r7 ADVICE history: the fixed six-tuple missed indent digits,
+    then the digit class wrongly admitted 0). A header swallows the
+    following deeper-indented lines; a NON-header value must leave them
+    scanning normally — so each case is observable through whether the
+    nested value's entity surfaces."""
+    from gossiphs_spark.operators.extract import extract_page_yaml
+
+    def nested_ref_emitted(header: bytes) -> bool:
+        y = b"x: " + header + b"\n  k: saw Sirius\n"
+        names = {r[1] for r in extract_page_yaml("u", y)}
+        return "Sirius" in names
+
+    # valid YAML headers: |/> with chomp and/or indent 1-9, either order
+    for h in (b"|", b">", b"|-", b">+", b"|2", b">9", b"|+1", b">2-",
+              b"|1", b"|9+"):
+        assert not nested_ref_emitted(h), h
+    # NOT headers (plain scalar values): indent 0 is illegal YAML, two
+    # digits, doubled bars, letters — nested lines must keep scanning
+    for h in (b"|0", b">0", b"|10", b"||", b"|a", b"|+0", b"|23"):
+        assert nested_ref_emitted(h), h
+
+
 def test_profile_sniff_handles_str_blobs():
     """r5 ADVICE: a string-typed page column must sniff for real instead
     of tallying uniformly as sniff:text."""
