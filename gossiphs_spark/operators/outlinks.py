@@ -85,12 +85,23 @@ def link_outlinks_to_pages(imports: DataFrame, pages: DataFrame,
         .distinct()
     )
     if same_host_cap is not None:
+        # Two-phase top-N: ranking per host directly puts a mega-host's
+        # ENTIRE page set in one window task — the cap computation
+        # itself would become the skew bottleneck it exists to prevent.
+        # Phase 1 ranks per (host, input partition), splitting a hot
+        # host across tasks, and keeps <= cap rows per slice (the
+        # host's true lexical top-cap is a subset of the union of
+        # per-slice top-caps); phase 2 ranks the <= cap x n_partitions
+        # survivors per host. Same rows as the single-phase rank,
+        # per-task work bounded at every step.
+        w1 = Window.partitionBy("host", "_p").orderBy("dst_url")
+        w2 = Window.partitionBy("host").orderBy("dst_url")
         host_pages = (
-            host_pages.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("host").orderBy("dst_url")),
-            )
+            host_pages.withColumn("_p", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= same_host_cap)
+            .drop("_rn", "_p")
+            .withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= same_host_cap)
             .drop("_rn")
         )
