@@ -20,7 +20,11 @@ ONLY the buckets whose keys the delta touched (apply_delta's
 return_touched tells it exactly which urls/names/pages can differ), so
 both the compute AND the I/O are delta-bounded — an N-page micro-batch
 against a B-bucket store rewrites O(touched-keys / (corpus/B)) bucket
-directories, not the corpus. Atomicity is the manifest swap: new
+directories, not the corpus. Touched buckets are rewritten WHOLE, so
+per-commit bytes scale with bucket size: size ``n_buckets`` to a
+per-bucket byte target as the state grows (Iceberg's file-size
+targeting, measured in BENCH/state_io_r08.json — fixed B: commit bytes
+track state 1:1; constant bucket size: commit bytes stay flat). Atomicity is the manifest swap: new
 version dirs land unreferenced, then one os.replace of the manifest
 publishes them all; a killed commit leaves the manifest pointing at the
 previous complete version of every bucket. A replayed micro-batch
