@@ -131,6 +131,50 @@ def test_idf_map_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_operator_plans_free_of_cartesian_and_rowwise_python(spark):
+    """Standing anti-pattern lint over the lazy operator surfaces (r8):
+    no CartesianProduct anywhere (every cross join in the package must
+    be a broadcast against a tiny dim — those plan as
+    BroadcastNestedLoopJoin), and no BatchEvalPython (a row-at-a-time
+    F.udf sneaking in; Arrow-batched pandas UDFs plan as
+    ArrowEvalPython, which IS allowed where the lint lists it)."""
+    from pyspark.sql import functions as F
+
+    from gossiphs_spark.operators import textmode as tm
+    from gossiphs_spark.operators.canonicalize import verified_pairs
+    from gossiphs_spark.operators.outlinks import link_outlinks_to_pages
+    from gossiphs_spark.sources.testdata import doc_pages
+
+    pages = doc_pages(spark, SF_DIR)
+    m = tm.filter_pointless(tm.mentions(pages), 3)
+    defs = m.filter(F.col("kind") == "DEF")
+    refs = m.filter(F.col("kind") == "REF")
+    web = spark.range(30).select(F.concat(
+        F.lit("https://h"), (F.col("id") % 3).cast("string"),
+        F.lit(".example.org/p"), F.col("id").cast("string")).alias("url"))
+    imports = web.select(
+        "url", F.lit("https://h0.example.org/x").alias("name"))
+    names = defs.select("name").distinct()
+
+    surfaces = {
+        "related_pages": (
+            tm.related_pages(tm.edges(defs, refs), defs), False),
+        "related_with_symbols": (
+            tm.related_with_symbols(tm.edges(defs, refs), defs, refs), False),
+        # resolver is a vectorized pandas UDF → ArrowEvalPython allowed
+        "link_outlinks": (link_outlinks_to_pages(imports, web), True),
+        # MinHash perm table is a broadcast cross join → BNLJ allowed,
+        # CartesianProduct not
+        "lsh_verified_pairs": (verified_pairs(names, 8, 2, 0.5), False),
+    }
+    for name, (df, arrow_ok) in surfaces.items():
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if not arrow_ok:
+            assert "ArrowEvalPython" not in plan, name
+
+
 def test_sessionization_single_exchange(spark):
     """ev_sessions claims one hash partitioning on user_id feeds both
     windows AND the rollup (HashPartitioning(user_id) satisfies
