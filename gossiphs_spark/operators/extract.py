@@ -144,7 +144,12 @@ def extract_page(url: str, html: bytes) -> list[tuple]:
 # dispatch per-url inside the same Arrow kernel):
 #   # Heading (first ATX)      → DEF  (the page's canonical entity)
 #   [label](target)            → IMPORT (the link target)
-#   ``` fenced code blocks ``` → NAMESPACE (excluded from REF scan)
+#   ``` fenced code blocks ``` → NAMESPACE (excluded from REF scan).
+#       NOTE: this is the package's ONE region-marker mention — its name
+#       is the synthetic label 'code' and its offsets delimit the fence,
+#       so it is exempt from the byte-identity contract every other
+#       mention honors (pinned in tests: the span must still start and
+#       end with the fence backticks).
 #   Capitalized tokens in body → REF
 # --------------------------------------------------------------------------
 _MD_FENCE_RE = re.compile(r"```.*?```", re.DOTALL)
