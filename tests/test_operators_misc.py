@@ -56,6 +56,36 @@ def test_outlink_resolution(spark):
     }
 
 
+def test_resolve_outlinks_survives_web_garbage(spark):
+    """Adversarial resolver sweep (r8): the full cross product of hostile
+    bases x hostile links must resolve in one pass with no exception, no
+    null/empty targets in the output, and well-formed absolute links
+    passing through unchanged — a 100-TB crawl feeds the resolver every
+    one of these shapes."""
+    bases = [
+        "https://a.com/x/page.html", "http://b.org", "", "not a url",
+        "ftp://f.tld/z", "https://[::1]/p", "doc://42",
+    ]
+    links = [
+        "https://ok.example/q.html",      # absolute — must pass through
+        "//cdn.example/lib.js",           # scheme-relative
+        "../../../../up.html",            # parent past root
+        "mailto:x@example.com", "javascript:void(0)", "data:text/plain,hi",
+        "http://", "http://[invalid", ":", "?q=1", "#frag",
+        "  spaced.html  ", "'<quoted.html>'", "ümläut.html",
+        "a" * 3000, "\t", None,
+    ]
+    rows = [(b, l) for b in bases for l in links]
+    imports = spark.createDataFrame(rows, "url string, name string")
+    out = resolve_outlinks(imports).collect()
+    targets = [r["target"] for r in out]
+    assert all(isinstance(t, str) and t for t in targets)
+    # the well-formed absolute link survives verbatim for every base
+    assert targets.count("https://ok.example/q.html") == len(bases)
+    # nulls and empties never produce a row
+    assert len(out) < len(rows)
+
+
 def test_outlink_page_linking(spark):
     imports = spark.createDataFrame(
         [
