@@ -171,29 +171,88 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame,
     return labels, it, changed == 0 and max_iter >= 1
 
 
+def _union_find_labels(names: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact component-minimum labels for a SMALL verified-pair graph:
+    collect the pairs, union-find with path compression on the driver,
+    broadcast the (name → component-min name) map back onto the
+    dictionary. Produces exactly the min-label-propagation fixpoint
+    (each node labeled with the minimum name reachable in its
+    component); names touching no pair map to themselves via the
+    left-join coalesce, so only edge-endpoint names ride the broadcast."""
+    spark = names.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs.select("name_a", "name_b").collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    mapping = spark.createDataFrame(
+        [(v, comp_min[find(v)]) for v in parent], "name string, label string"
+    )
+    return (
+        names.select("name").distinct()
+        .join(F.broadcast(mapping), "name", "left")
+        .select("name", F.coalesce("label", "name").alias("label"))
+    )
+
+
 def canonical_entities(names: DataFrame, n_perms: int = 16,
                        rows_per_band: int = 4, jaccard_min: float = 0.6,
                        max_iter: int = 10, shingle_k: int = 3,
-                       cache_names: bool = True) -> DataFrame:
+                       cache_names: bool = True,
+                       driver_pairs_limit: int = 1_000_000) -> DataFrame:
     """→ (name, entity_id, canonical_name): connected components of the
     verified similarity graph; entity_id = min member hash, canonical_name
     = lexicographically smallest member (deterministic).
 
     ``cache_names=False`` is for callers that already cached (and own
     the lifetime of) the dictionary — canonicalize_triples does, so it
-    can unpersist it the moment the entity table is materialized."""
+    can unpersist it the moment the entity table is materialized.
+
+    Components run on the driver when the verified-pair graph is small
+    (≤ ``driver_pairs_limit`` pairs — the LSH-survivor set is vanishingly
+    sparse relative to the dictionary, and 10^6 string pairs is tens of
+    MB): one collect + union-find replaces k propagation rounds at two
+    Spark jobs each, the same small-graph final phase the GraphX/
+    GraphFrames connected-components implementations drop into. Above
+    the limit — or with the limit set to 0 — the distributed
+    min-label propagation runs; the two paths are pinned output-identical
+    by tests/test_canonicalize.py."""
     # the dictionary feeds both the LSH pair derivation and the label
     # seed — cache it so the caller's upstream (often a distinct over a
     # corpus-scale stream) computes once per build, not per branch
     if cache_names:
         names = names.cache()
-    pairs = verified_pairs(names, n_perms, rows_per_band, jaccard_min, shingle_k)
-    labels = names.select("name").distinct().withColumn("label", F.col("name"))
+    # materialized once: the count-then-branch below and the chosen
+    # components path both read it without re-running the LSH plan
+    pairs = verified_pairs(
+        names, n_perms, rows_per_band, jaccard_min, shingle_k
+    ).localCheckpoint(eager=True)
 
-    edges = pairs.select("name_a", "name_b").unionByName(
-        pairs.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
-    )
-    labels, _, converged = propagate_min_labels(labels, edges, max_iter)
+    if pairs.count() <= driver_pairs_limit and driver_pairs_limit > 0:
+        labels, converged = _union_find_labels(names, pairs), True
+    else:
+        labels = names.select("name").distinct().withColumn("label", F.col("name"))
+        edges = pairs.select("name_a", "name_b").unionByName(
+            pairs.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
+        )
+        labels, _, converged = propagate_min_labels(labels, edges, max_iter)
     if not converged:
         # no silent caps: a component with diameter > max_iter would keep
         # two canonical names for one cluster — make the truncation visible

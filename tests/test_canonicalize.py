@@ -102,8 +102,29 @@ def test_nonconvergence_is_visible(spark, caplog):
         [(f"Magnetar{'x' * i}",) for i in range(6)], "name string"
     )
     with caplog.at_level(logging.WARNING, logger="gossiphs_spark.operators.canonicalize"):
-        canonical_entities(names, jaccard_min=0.3, max_iter=1).collect()
+        # driver_pairs_limit=0 forces the distributed propagation path —
+        # the union-find fast path is exact and never truncates
+        canonical_entities(
+            names, jaccard_min=0.3, max_iter=1, driver_pairs_limit=0
+        ).collect()
     assert any("did not converge" in r.message for r in caplog.records)
+
+
+def test_driver_union_find_matches_propagation(spark):
+    """The size-guarded driver union-find fast path must produce exactly
+    the distributed min-label-propagation fixpoint — same entity ids,
+    same canonical names — including chained clusters (transitive merge
+    through several rounds) and singletons."""
+    names = spark.createDataFrame(
+        [(n,) for n in NAMES + [f"Magnetar{'x' * i}" for i in range(4)]],
+        "name string",
+    )
+    fast = canonical_entities(names, jaccard_min=0.4)  # default: driver path
+    slow = canonical_entities(names, jaccard_min=0.4, driver_pairs_limit=0)
+    as_map = lambda df: {  # noqa: E731
+        r["name"]: (r["entity_id"], r["canonical_name"]) for r in df.collect()
+    }
+    assert as_map(fast) == as_map(slow)
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
