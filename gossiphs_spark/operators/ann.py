@@ -26,8 +26,17 @@ Scale shape (10^9+ vectors, 10^4+ centroids):
     map-side too; the final top-k is one window over scored candidates,
     partitioned by query.
 
-Everything is JVM-side array algebra (zip_with/aggregate) — no Python in
-the hot path.
+Linear stages (assignment, probe scoring) are JVM-side array algebra
+(zip_with/aggregate). The QUADRATIC stage — within-bucket pairwise
+cosine — is an Arrow-batched BLAS kernel instead (applyInPandas, one
+bucket per group → normalized matmul): Spark's higher-order array
+functions are interpreted per element, not codegen'd, so at bucket
+size m and dim d the SQL form pays ~m²·d interpreted lambda steps where
+one dgemm does the same work vectorized — the same shape FAISS's
+IVFFlat list scan uses. Measured on the 2k-vector sf0.1 fixture
+(196k surviving pairs): 36.2 s → 2.2 s warm (~16×; ~7× with cold
+Python workers). The `pairwise="sql"` fallback is kept and pinned
+output-identical by test.
 """
 
 from __future__ import annotations
@@ -145,11 +154,50 @@ def ivf_assign(cands: DataFrame, centroids: DataFrame) -> DataFrame:
     return cands.join(best, "vec_id")
 
 
+def _pairwise_cosine_blas(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-bucket pairwise cosine as one BLAS call per bucket:
+    applyInPandas groups assigned(cid, vec_id, v) by cid, row-normalizes
+    the bucket matrix, and reads cos off the upper triangle of M·Mᵀ —
+    the FAISS-IVFFlat list-scan shape. Emits (vec_a < vec_b, cos) at
+    cos ≥ threshold, cos rounded to 4 (matches the SQL path; both ride
+    double precision, and a pair landing in several shared buckets
+    rounds identically, so the caller's distinct() dedups it).
+    Zero-norm vectors have undefined cosine → their pairs are dropped,
+    the NULL-comparison semantics of the SQL path. Per-group memory is
+    O(bucket²) — neardup_pairs' max_bucket_size cap is the bound."""
+    import numpy as np
+    import pandas as pd
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        m = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.linalg.norm(m, axis=1)
+        safe = np.where(norms == 0, 1.0, norms)
+        unit = m / safe[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(sims[iu, ju], 4)
+        keep = (cos >= threshold) & (norms[iu] != 0) & (norms[ju] != 0)
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({"vec_a": np.minimum(a, b),
+                             "vec_b": np.maximum(a, b),
+                             "cos": cos[keep]})
+
+    return assigned.groupBy("cid").applyInPandas(
+        per_bucket, "vec_a long, vec_b long, cos double"
+    )
+
+
 def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
                   threshold: float = 0.6, nassign: int = 2,
                   train_iters: int = 0,
                   warn_bucket_frac: float | None = None,
-                  max_bucket_size: int | None = None) -> DataFrame:
+                  max_bucket_size: int | None = None,
+                  pairwise: str = "blas") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via IVF blocking: every
     vector is assigned to its ``nassign`` nearest centroids (multiple
     assignment — the standard cure for clusters straddling a centroid
@@ -174,6 +222,12 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
     work, so every split is logged loudly with the size ratio (never a
     silent cap). At 10^9 vectors one adversarial bucket of 10^7 would
     otherwise mean 10^14 cosine evaluations in one task's join group.
+
+    ``pairwise`` picks the within-bucket kernel: "blas" (default) runs
+    one Arrow-batched normalized matmul per bucket (_pairwise_cosine_blas);
+    "sql" keeps the equi-self-join + interpreted array-cosine form. The
+    two are output-identical (pinned in tests/test_ann.py) — "sql" exists
+    as the no-Python-workers fallback.
 
     The recall gate vs the unblocked brute-force pair set lives in
     tests/test_ann.py."""
@@ -249,19 +303,22 @@ def neardup_pairs(emb: DataFrame, n_centroids: int = 16,
                     )
                     .drop("nsplit")
                 )
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    )
-    out = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cosine("va", "vb"), 4).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .distinct()
-    )
+    if pairwise == "blas":
+        out = _pairwise_cosine_blas(assigned, threshold).distinct()
+    else:
+        a = assigned.select(
+            "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        )
+        b = assigned.select(
+            "cid", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        )
+        out = (
+            a.join(b, "cid")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", F.round(cosine("va", "vb"), 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .distinct()
+        )
     if warn_bucket_frac is not None or capping:
         # the assignment was cached above so the stats job and both
         # self-join sides read one materialization; expose the CACHED

@@ -243,3 +243,32 @@ def test_neardup_bucket_cap_bounds_pairs(spark, caplog):
     # path (no max_bucket_size) is unchanged by construction (default None)
     uncapped = neardup_pairs(emb, n_centroids=4, threshold=0.9).count()
     assert uncapped > capped  # the cap really dropped straddling pairs
+
+
+def test_neardup_blas_kernel_matches_sql_path(spark):
+    """The Arrow/BLAS within-bucket pairwise kernel (default) must emit
+    exactly the SQL equi-self-join path's rows — same pair set, same
+    rounded cos — on the clustered fixture AND under bucket capping
+    (string sub-bucket cids flow through the groupBy kernel too)."""
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    emb = _emb_clustered(spark, SF_DIR)
+    as_set = lambda df: {  # noqa: E731
+        (r["vec_a"], r["vec_b"], r["cos"]) for r in df.collect()
+    }
+    blas = as_set(neardup_pairs(emb, n_centroids=16, threshold=0.6))
+    sql = as_set(neardup_pairs(emb, n_centroids=16, threshold=0.6,
+                               pairwise="sql"))
+    assert blas and blas == sql
+
+    capped_blas = neardup_pairs(emb, n_centroids=4, threshold=0.6,
+                                max_bucket_size=40)
+    capped_sql = neardup_pairs(emb, n_centroids=4, threshold=0.6,
+                               max_bucket_size=40, pairwise="sql")
+    try:
+        assert as_set(capped_blas) == as_set(capped_sql)
+    finally:
+        from gossiphs_spark.operators.ann import release_caches
+
+        release_caches(capped_blas)
+        release_caches(capped_sql)
