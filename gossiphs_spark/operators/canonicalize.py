@@ -13,9 +13,11 @@ canonicalization at corpus scale:
      EQUI-join, never a cross join.
   3. VERIFY candidates with exact shingle-set Jaccard ≥ threshold
      (cheap: only on the LSH survivors).
-  4. Connected components by iterative min-label propagation over the
-     verified-pair graph (deterministic, bounded iterations) →
-     entity_id = min md5_long of the component's members.
+  4. Connected components over the verified-pair graph → entity_id =
+     min md5_long of the component's members. Small graphs (≤ a
+     pair-count guard) run as one driver union-find; larger ones as
+     iterative distributed min-label propagation (deterministic,
+     bounded iterations) — both output-identical by test.
 
 Every stage is DataFrame algebra; determinism (seeded hashes, no rand)
 keeps resume/retry idempotent.
