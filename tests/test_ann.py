@@ -272,3 +272,28 @@ def test_neardup_blas_kernel_matches_sql_path(spark):
 
         release_caches(capped_blas)
         release_caches(capped_sql)
+
+
+def test_neardup_blas_drops_zero_norm_vectors(spark):
+    """Zero-norm embeddings have undefined cosine: the SQL path yields
+    NULL (dropped by the threshold filter, never a divide-by-zero job
+    kill) and the BLAS kernel must drop the same pairs — while still
+    pairing the surrounding non-degenerate vectors."""
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # near-dup of 1
+        (3, [0.0, 0.0, 0.0]),   # degenerate
+        (4, [0.0, 0.0, 0.0]),   # degenerate
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    as_set = lambda df: {  # noqa: E731
+        (r["vec_a"], r["vec_b"], r["cos"]) for r in df.collect()
+    }
+    # n_centroids > n rows → every vector lands in (all) the same buckets
+    blas = as_set(neardup_pairs(emb, n_centroids=4, threshold=0.5))
+    sql = as_set(neardup_pairs(emb, n_centroids=4, threshold=0.5,
+                               pairwise="sql"))
+    assert blas == sql
+    assert {(a, b) for a, b, _ in blas} == {(1, 2)}
