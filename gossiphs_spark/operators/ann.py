@@ -169,6 +169,9 @@ def _pairwise_cosine_blas(assigned: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL embeddings: cosine undefined → every pair dropped (the SQL
+        # path's NULL-comparison outcome), the non-null rest still pairs
+        pdf = pdf[pdf["v"].notna()]
         ids = pdf["vec_id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),

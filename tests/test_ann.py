@@ -297,3 +297,18 @@ def test_neardup_blas_drops_zero_norm_vectors(spark):
                                pairwise="sql"))
     assert blas == sql
     assert {(a, b) for a, b, _ in blas} == {(1, 2)}
+
+
+def test_neardup_blas_drops_null_embeddings(spark):
+    """A NULL embedding must not kill the BLAS kernel batch: its pairs
+    drop (the SQL path's NULL-cosine outcome) and the non-null rows in
+    the same bucket still pair."""
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)],
+        "vec_id long, v array<double>",
+    )
+    got = {(r["vec_a"], r["vec_b"])
+           for r in neardup_pairs(emb, n_centroids=4, threshold=0.5).collect()}
+    assert got == {(1, 2)}
