@@ -154,41 +154,57 @@ def ivf_assign(cands: DataFrame, centroids: DataFrame) -> DataFrame:
     return cands.join(best, "vec_id")
 
 
-def _pairwise_cosine_blas(assigned: DataFrame, threshold: float) -> DataFrame:
-    """Within-bucket pairwise cosine as one BLAS call per bucket:
+def _pairwise_cosine_blas(assigned: DataFrame, threshold: float,
+                          block_bytes: int = 1 << 28) -> DataFrame:
+    """Within-bucket pairwise cosine as tiled BLAS calls per bucket:
     applyInPandas groups assigned(cid, vec_id, v) by cid, row-normalizes
-    the bucket matrix, and reads cos off the upper triangle of M·Mᵀ —
-    the FAISS-IVFFlat list-scan shape. Emits (vec_a < vec_b, cos) at
-    cos ≥ threshold, cos rounded to 4 (matches the SQL path; both ride
-    double precision, and a pair landing in several shared buckets
-    rounds identically, so the caller's distinct() dedups it).
-    Zero-norm vectors have undefined cosine → their pairs are dropped,
-    the NULL-comparison semantics of the SQL path. Per-group memory is
-    O(bucket²) — neardup_pairs' max_bucket_size cap is the bound."""
+    the bucket matrix, and scans the upper triangle of M·Mᵀ in row
+    blocks — the FAISS-IVFFlat list-scan shape. Emits (vec_a < vec_b,
+    cos) at cos ≥ threshold, cos rounded to 4 (matches the SQL path;
+    both ride double precision, and a pair landing in several shared
+    buckets rounds identically, so the caller's distinct() dedups it).
+    NULL and zero-norm vectors have undefined cosine → their pairs are
+    dropped (the SQL path's NULL-comparison outcome).
+
+    Tiling keeps the working set at O(T·m) doubles — a block of T rows
+    against the whole bucket, T sized so one block is ≤ ``block_bytes``
+    (default 256 MB) — never the O(m²) full similarity matrix, so a
+    degenerate bucket degrades the way the SQL join did (quadratic
+    TIME, bounded memory) instead of one allocation of m² doubles.
+    The survivor lists are threshold-filtered per block, so their size
+    tracks the real near-dup pair count, not m². neardup_pairs'
+    max_bucket_size cap remains the hard bound on the time side."""
     import numpy as np
     import pandas as pd
 
+    empty = {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # NULL embeddings: cosine undefined → every pair dropped (the SQL
-        # path's NULL-comparison outcome), the non-null rest still pairs
         pdf = pdf[pdf["v"].notna()]
-        ids = pdf["vec_id"].to_numpy()
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        ids = pdf["vec_id"].to_numpy()[norms != 0]
         if len(ids) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        m = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        norms = np.linalg.norm(m, axis=1)
-        safe = np.where(norms == 0, 1.0, norms)
-        unit = m / safe[:, None]
-        sims = unit @ unit.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = np.round(sims[iu, ju], 4)
-        keep = (cos >= threshold) & (norms[iu] != 0) & (norms[ju] != 0)
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame({"vec_a": np.minimum(a, b),
-                             "vec_b": np.maximum(a, b),
-                             "cos": cos[keep]})
+            return pd.DataFrame(empty)
+        unit = mat[norms != 0] / norms[norms != 0][:, None]
+        n = len(ids)
+        t = max(1, min(n, block_bytes // (8 * n)))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n - 1, t):
+            cos = np.round(unit[s:s + t] @ unit.T, 4)
+            rows, cols = np.nonzero(cos >= threshold)
+            keep = cols > rows + s  # strict upper triangle, global index
+            a, b = ids[rows[keep] + s], ids[cols[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(cos[rows[keep], cols[keep]])
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
 
     return assigned.groupBy("cid").applyInPandas(
         per_bucket, "vec_a long, vec_b long, cos double"

@@ -312,3 +312,19 @@ def test_neardup_blas_drops_null_embeddings(spark):
     got = {(r["vec_a"], r["vec_b"])
            for r in neardup_pairs(emb, n_centroids=4, threshold=0.5).collect()}
     assert got == {(1, 2)}
+
+
+def test_blas_tiling_is_invisible(spark):
+    """The row-block tiling inside the BLAS kernel must not change the
+    emitted pairs: a pathologically small block size (forcing one row
+    per matmul) yields exactly the single-tile result."""
+    from gossiphs_spark.operators.ann import _pairwise_cosine_blas
+
+    emb = _emb_clustered(spark, SF_DIR).limit(60)
+    assigned = emb.select(F.lit(0).alias("cid"), "vec_id", "v")
+    as_set = lambda df: {  # noqa: E731
+        (r["vec_a"], r["vec_b"], r["cos"]) for r in df.collect()
+    }
+    one_tile = as_set(_pairwise_cosine_blas(assigned, 0.6))
+    tiny = as_set(_pairwise_cosine_blas(assigned, 0.6, block_bytes=1))
+    assert one_tile and one_tile == tiny
