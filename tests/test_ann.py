@@ -328,3 +328,41 @@ def test_blas_tiling_is_invisible(spark):
     one_tile = as_set(_pairwise_cosine_blas(assigned, 0.6))
     tiny = as_set(_pairwise_cosine_blas(assigned, 0.6, block_bytes=1))
     assert one_tile and one_tile == tiny
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vec = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+              allow_infinity=False) | st.just(0.0),
+    min_size=3, max_size=3,
+)
+
+
+@given(st.lists(_vec, min_size=2, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_blas_sql_kernels_agree_on_random_vectors(spark, vecs):
+    """Property pin for the two pairwise kernels beyond the clustered
+    fixture: on arbitrary small vector sets — negatives, exact zeros,
+    duplicated vectors, mixed magnitudes (bounded so neither engine's
+    norm overflows) — the BLAS and SQL paths emit the same pair-id set,
+    with cos agreeing to the shared 4-dp rounding grid (1 ulp of the
+    grid tolerated: np.round is half-even, Spark's round half-up, and
+    the two may sit on opposite sides of an exact .00005 boundary)."""
+    from gossiphs_spark.operators.ann import neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r["vec_a"], r["vec_b"]): r["cos"] for r in df.collect()
+    }
+    blas = as_map(neardup_pairs(emb, n_centroids=4, threshold=0.3))
+    sql = as_map(neardup_pairs(emb, n_centroids=4, threshold=0.3,
+                               pairwise="sql"))
+    # a pair may enter exactly one set only when its cos sits on the
+    # threshold's own rounding boundary (same half-even/half-up ulp)
+    for k in set(blas) ^ set(sql):
+        assert abs((blas.get(k) or sql.get(k)) - 0.3) <= 1e-4 + 1e-12
+    assert all(abs(blas[k] - sql[k]) <= 1e-4 + 1e-12
+               for k in set(blas) & set(sql))
