@@ -64,8 +64,22 @@ def minhash_signatures(names: DataFrame, n_perms: int = 16,
 
 
 def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
-                        rows_per_band: int = 4, shingle_k: int = 3) -> DataFrame:
-    """Blocked + banded candidate pairs (name_a < name_b)."""
+                        rows_per_band: int = 4, shingle_k: int = 3,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Blocked + banded candidate pairs (name_a < name_b).
+
+    ``max_bucket_size`` HARD-bounds the bucket self-join's quadratic
+    blow-up, the same guard (and the same trade) as neardup_pairs': a
+    (block, band, band_key) bucket over the cap is split
+    deterministically into ceil(size/cap) md5(name) sub-buckets, so
+    per-bucket pair work is O(cap²) no matter how degenerate the
+    signature gets — at 10^12 documents, 10^6 names sharing one band
+    signature (boilerplate tokens, template artifacts) would otherwise
+    mean 10^12 candidate pairs in ONE join group. Pairs straddling a
+    split are LOST, which can leave one near-dup cluster as several
+    components downstream — every split is logged loudly with sizes
+    (never a silent cap). Default None = exact reference semantics
+    (the fixture-scale oracles run uncapped)."""
     sig = minhash_signatures(names, n_perms, shingle_k)
     bands = (
         sig.withColumn("band", F.floor(F.col("p") / rows_per_band).cast("int"))
@@ -91,6 +105,50 @@ def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
             ),
         )
     )
+    if max_bucket_size is not None and max_bucket_size > 0:
+        import logging
+
+        keys = ["block", "band", "band_key"]
+        # bands is read by the size aggregation and both self-join sides —
+        # one materialization instead of three signature re-derivations
+        bands = bands.localCheckpoint(eager=True)
+        over = (
+            bands.groupBy(*keys).agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select(*keys,
+                    F.ceil(F.col("n") / max_bucket_size).alias("_nsplit"),
+                    "n")
+        )
+        stats = over.agg(
+            F.count("*").alias("k"), F.max("n").alias("mx"), F.sum("n").alias("tot")
+        ).collect()[0]
+        if stats["k"]:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: splitting %d oversized LSH bucket(s) "
+                "(largest %d names > cap %d; %d names affected) — candidate "
+                "pairs straddling a split are not generated, so an "
+                "over-merged signature cluster may canonicalize as several "
+                "entities; raise n_perms/rows_per_band or the cap to "
+                "restore recall",
+                stats["k"], stats["mx"], max_bucket_size, stats["tot"],
+            )
+            # the split table is one row per OVERSIZED bucket (≤ names/cap
+            # rows) → broadcast; the sub-bucket id is a pure hash of the
+            # name, so the split is deterministic and shuffle-free
+            bands = (
+                bands.join(F.broadcast(over.drop("n")), keys, "left")
+                .withColumn(
+                    "band_key",
+                    F.when(
+                        F.col("_nsplit").isNotNull(),
+                        F.concat_ws(
+                            "#", "band_key",
+                            (md5_long("name") % F.col("_nsplit")).cast("string"),
+                        ),
+                    ).otherwise(F.col("band_key")),
+                )
+                .drop("_nsplit")
+            )
     a = bands.select(F.col("name").alias("name_a"), "band", "band_key", "block")
     b = bands.select(F.col("name").alias("name_b"), "band", "band_key", "block")
     return (
@@ -103,9 +161,13 @@ def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
 
 def verified_pairs(names: DataFrame, n_perms: int = 16,
                    rows_per_band: int = 4, jaccard_min: float = 0.6,
-                   shingle_k: int = 3) -> DataFrame:
-    """LSH candidates filtered by exact shingle Jaccard ≥ jaccard_min."""
-    cands = lsh_candidate_pairs(names, n_perms, rows_per_band, shingle_k)
+                   shingle_k: int = 3,
+                   lsh_max_bucket_size: int | None = None) -> DataFrame:
+    """LSH candidates filtered by exact shingle Jaccard ≥ jaccard_min.
+    ``lsh_max_bucket_size`` passes through to lsh_candidate_pairs'
+    oversized-bucket split guard (default None = uncapped)."""
+    cands = lsh_candidate_pairs(names, n_perms, rows_per_band, shingle_k,
+                                max_bucket_size=lsh_max_bucket_size)
     sh = _shingle_names(names, shingle_k)
     sizes = sh.groupBy("name").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -218,7 +280,8 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
                        rows_per_band: int = 4, jaccard_min: float = 0.6,
                        max_iter: int = 10, shingle_k: int = 3,
                        cache_names: bool = True,
-                       driver_pairs_limit: int = 1_000_000) -> DataFrame:
+                       driver_pairs_limit: int = 1_000_000,
+                       lsh_max_bucket_size: int | None = None) -> DataFrame:
     """→ (name, entity_id, canonical_name): connected components of the
     verified similarity graph; entity_id = min member hash, canonical_name
     = lexicographically smallest member (deterministic).
@@ -244,7 +307,8 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
     # materialized once: the count-then-branch below and the chosen
     # components path both read it without re-running the LSH plan
     pairs = verified_pairs(
-        names, n_perms, rows_per_band, jaccard_min, shingle_k
+        names, n_perms, rows_per_band, jaccard_min, shingle_k,
+        lsh_max_bucket_size=lsh_max_bucket_size,
     ).localCheckpoint(eager=True)
 
     if pairs.count() <= driver_pairs_limit and driver_pairs_limit > 0:

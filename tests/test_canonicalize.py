@@ -223,3 +223,63 @@ def test_canonicalize_triples_cache_lifetimes(spark):
     # because the ContextCleaner reclaims it on GC, unlike cache(),
     # which a CacheManager entry pins for the session's lifetime
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_lsh_bucket_cap_bounds_pairs_and_warns(spark, caplog):
+    """A degenerate LSH bucket (many names normalizing to one shingle
+    set → identical signatures in every band) must split under
+    max_bucket_size with a loud warning, bounding candidate pairs to
+    O(cap²) per sub-bucket; default None keeps exact semantics."""
+    import logging
+
+    from gossiphs_spark.operators.canonicalize import lsh_candidate_pairs
+
+    # punctuation variants of one normalized form "omegapoint": identical
+    # shingle sets → identical signatures → one bucket per band
+    # no dots: '.' would move base_name's segment and change the block
+    names = spark.createDataFrame(
+        [(f"{'_' * (i % 4)}omega{'-' if i % 2 else '_'}point{'-' * (i % 3)}",)
+         for i in range(48)],
+        "name string",
+    ).distinct()
+    n = names.count()
+    assert n >= 10  # distinct punctuation variants, same normalized form
+
+    uncapped = lsh_candidate_pairs(names).count()
+    assert uncapped == n * (n - 1) // 2  # the full quadratic bucket
+
+    with caplog.at_level(logging.WARNING,
+                         logger="gossiphs_spark.operators.canonicalize"):
+        capped = lsh_candidate_pairs(names, max_bucket_size=5).count()
+    assert any("oversized LSH bucket" in r.message for r in caplog.records)
+    # ceil(n/5) sub-buckets of ~5 → far fewer than the quadratic count
+    assert 0 < capped < uncapped
+
+    # determinism: same split under repartitioning
+    capped2 = lsh_candidate_pairs(names.repartition(7), max_bucket_size=5)
+    assert {tuple(r) for r in capped2.collect()} == {
+        tuple(r) for r in lsh_candidate_pairs(names, max_bucket_size=5).collect()
+    }
+
+
+def test_lsh_cap_threads_through_canonical_entities(spark, caplog):
+    """canonical_entities(lsh_max_bucket_size=...) reaches the LSH stage:
+    the degenerate cluster splits into >1 entity (visible trade) where
+    the uncapped run merges it into one."""
+    import logging
+
+    from gossiphs_spark.operators.canonicalize import canonical_entities
+
+    names = spark.createDataFrame(
+        [(f"{'_' * (i % 4)}gamma{'-' if i % 2 else '_'}burst{'-' * (i % 3)}",)
+         for i in range(48)],
+        "name string",
+    ).distinct()
+    one = canonical_entities(names, jaccard_min=0.9)
+    assert one.select("entity_id").distinct().count() == 1
+    with caplog.at_level(logging.WARNING,
+                         logger="gossiphs_spark.operators.canonicalize"):
+        split = canonical_entities(names, jaccard_min=0.9,
+                                   lsh_max_bucket_size=5)
+    assert any("oversized LSH bucket" in r.message for r in caplog.records)
+    assert split.select("entity_id").distinct().count() > 1
