@@ -59,7 +59,6 @@ _QUERY_NAMES = [
     "kg_pagerank",
     # evidence-based scoring (§2.3 J5, §2.4, §2.5)
     "eval_cutoff_search",
-    "a10_file_metadata",
     "a10_metadata_arrays",
     "a13_score_buckets",
     "o8_hub_damped_counts",
@@ -97,6 +96,11 @@ _QUERY_NAMES = [
     "mm_pixel_stats",
     "mm_png_pixels",
     "mm_gif_pixels",
+    # NEW late-r8: REAL baseline-JPEG pixel decode (closes the one
+    # remaining multimodal descope) — a new query's first recorded row
+    # must come from the driver, so it enters the window immediately;
+    # a10_file_metadata (green r6+r7) parks to make room
+    "mm_jpeg_pixels",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -124,6 +128,8 @@ _QUERY_NAMES = [
     "tq_winnow_fingerprints",
     "dd_simhash",
     "j1_candidate_counts",
+    # parked late-r8 (green r6+r7) to make room for mm_jpeg_pixels
+    "a10_file_metadata",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

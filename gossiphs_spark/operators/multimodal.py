@@ -12,14 +12,16 @@ uncompressed 24-bit BMP (``_parse_bmp_pixels``: numpy over the raw padded
 pixel array → channel sums / luminance, oracle-verified via
 mm_pixel_stats), for 8-bit PNG — gray/RGB/palette/alpha, sequential or
 Adam7-interlaced — via stdlib zlib inflate + vectorized unfilter
-(``_parse_png_pixels``, oracle-verified via mm_png_pixels), and for GIF
+(``_parse_png_pixels``, oracle-verified via mm_png_pixels), for GIF
 via a pure-Python LZW decoder (``_parse_gif_pixels``, oracle-verified
-via mm_gif_pixels). Only JPEG genuinely needs a codec library (entropy
-decode; deliberately descoped — see COVERAGE.md multimodal row for the
-PIL swap seam), as do resizing, perceptual hashing, and video frame
-sampling; those fall back to a deterministic md5-derived STUB and
-``phash`` is a content hash stand-in, documented as such. Swap the
-fallback for PIL/ffmpeg on a real cluster without touching the plan.
+via mm_gif_pixels), and for baseline sequential JPEG via a pure
+numpy/Python Huffman + vectorized-IDCT decoder (``_parse_jpeg_pixels``,
+oracle-verified via mm_jpeg_pixels; progressive/arithmetic/12-bit
+streams fall to the stub — see COVERAGE.md multimodal row). Resizing,
+perceptual hashing, and video frame sampling still need the absent
+codec/media libraries; those fall back to a deterministic md5-derived
+STUB and ``phash`` is a content hash stand-in, documented as such. Swap
+the fallback for PIL/ffmpeg on a real cluster without touching the plan.
 """
 
 from __future__ import annotations
@@ -472,6 +474,433 @@ def _parse_png_pixels(p: bytes):
             "sum_b": int(sums[2])}
 
 
+# Per-image pixel cap for JPEG. Entropy (Huffman) decode is a pure-Python
+# per-symbol loop like GIF's LZW, so JPEG shares GIF's 4 MP budget rather
+# than PNG's 16 MP; additionally the entropy-coded scan BYTES are capped
+# (decode cost is O(scan bits), and a crafted 4 MP image could still carry
+# an arbitrarily long scan). Images over either cap fall to the stub.
+_JPEG_PX_BUDGET = 4_000_000
+_JPEG_SCAN_BUDGET = 1 << 20  # 1 MiB of entropy-coded bytes
+
+
+def _jpeg_zigzag():
+    """The JPEG zigzag scan as flat 8x8 indices, generated from the
+    diagonal-walk definition (ITU T.81 Figure 5) rather than hand-typed:
+    diagonal s = row+col; odd diagonals walk row-ascending, even ones
+    row-descending."""
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            order.append(r * 8 + (s - r))
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+_IDCT_BASIS = None
+
+
+def _jpeg_idct_basis():
+    """Orthonormal 8-point DCT basis M with M[u,x] = c(u)/2 ·
+    cos((2x+1)uπ/16), c(0)=1/√2 else 1, so the 2-D inverse is the pure
+    matrix form f = Mᵀ F M (T.81 A.3.3). Cached module-wide."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = 0.5 / math.sqrt(2.0) if u == 0 else 0.5
+            for x in range(8):
+                m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _IDCT_BASIS = m
+    return _IDCT_BASIS
+
+
+def _jpeg_build_huffman(bits, vals):
+    """Canonical Huffman decode tables from a DHT's BITS/HUFFVAL
+    (T.81 C.2/F.2.2.3): per-length MINCODE/MAXCODE/VALPTR plus an 8-bit
+    prefix LUT so short codes decode in one probe. Returns None for an
+    over-subscribed code (Kraft violation) — corrupt table."""
+    if sum(bits) != len(vals) or len(vals) > 256:
+        return None
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    lut = [None] * 256
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if n:
+            valptr[ln] = k
+            mincode[ln] = code
+            for _ in range(n):
+                if code >= (1 << ln):
+                    return None  # more codes than the length can hold
+                if ln <= 8:
+                    base = code << (8 - ln)
+                    for f in range(1 << (8 - ln)):
+                        lut[base + f] = (vals[k], ln)
+                code += 1
+                k += 1
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals), lut
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    0xFF00, stops at any marker (exposing it via .marker), and counts
+    consumed scan bytes against the caller's budget."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "marker", "consumed", "budget")
+
+    def __init__(self, data: bytes, pos: int, budget: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        self.consumed = 0
+        self.budget = budget
+
+    def _fill(self) -> bool:
+        """Pull one more data byte into acc; False at a marker / EOF /
+        exhausted budget."""
+        if self.marker is not None:
+            return False
+        d = self.data
+        i = self.pos
+        if i >= len(d):
+            return False
+        b = d[i]
+        if b == 0xFF:
+            j = i + 1
+            while j < len(d) and d[j] == 0xFF:  # fill bytes before a marker
+                j += 1
+            if j >= len(d):
+                return False
+            nxt = d[j]
+            if nxt == 0x00:  # stuffed data 0xFF
+                self.pos = j + 1
+            else:
+                self.marker = nxt
+                self.pos = j + 1
+                return False
+        else:
+            self.pos = i + 1
+        self.consumed += 1
+        if self.consumed > self.budget:
+            self.marker = -1  # budget sentinel — treated as corrupt upstream
+            return False
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bits(self, n: int):
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, tab):
+        """Decode one Huffman symbol: an 8-bit prefix-LUT probe first
+        (consumes nothing on a miss), else the per-length bit-serial
+        MINCODE/MAXCODE walk (T.81 F.16) from the same position."""
+        mincode, maxcode, valptr, vals, lut = tab
+        while self.nbits < 8:
+            if not self._fill():
+                break
+        if self.nbits >= 8:
+            hit = lut[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if hit is not None:
+                sym, ln = hit
+                self.nbits -= ln
+                self.acc &= (1 << self.nbits) - 1
+                return sym
+        code = 0
+        for ln in range(1, 17):
+            b = self.read_bits(1)
+            if b is None:
+                return None
+            code = (code << 1) | b
+            if maxcode[ln] >= 0 and mincode[ln] <= code <= maxcode[ln]:
+                return vals[valptr[ln] + code - mincode[ln]]
+        return None
+
+    def receive_extend(self, t: int):
+        """RECEIVE + EXTEND (T.81 F.12): t magnitude bits → signed value."""
+        if t == 0:
+            return 0
+        v = self.read_bits(t)
+        if v is None:
+            return None
+        if v < (1 << (t - 1)):
+            v += (-1 << t) + 1
+        return v
+
+    def align_and_take_marker(self):
+        """Byte-align (discarding <8 pad bits) and return the pending
+        marker, or None if whole data bytes remain / no marker pending."""
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+        if self.nbits >= 8:
+            return None  # unconsumed data bytes where a marker must sit
+        if self.marker is None and self._fill():
+            return None  # a data byte where the marker must sit
+        m = self.marker
+        self.marker = None
+        return m
+
+
+def _jpeg_decode_scan(data, pos, w, h, scan, qtabs, htabs, ri):
+    """Decode one baseline sequential scan starting at ``pos`` (first
+    entropy-coded byte after the SOS header): Huffman-decode every MCU's
+    blocks (DC prediction + RECEIVE/EXTEND, AC run/size with ZRL/EOB,
+    restart markers resetting predictors), dequantize in zigzag order,
+    de-zigzag, batch-IDCT per component via the orthonormal basis
+    (vectorized einsum — the per-block math never touches Python), then
+    crop → upsample chroma (nearest, T.81 sample-replication) → crop to
+    (h, w) and convert. Returns the channel-sum dict or None."""
+    import numpy as np
+
+    if len(scan) == 1:
+        # non-interleaved single-component scan: MCU is one block and
+        # the component keeps full resolution (T.81 A.2.2)
+        scan[0]["h"] = scan[0]["v"] = 1
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in scan:
+        if c["tq"] not in qtabs or (0, c["td"]) not in htabs \
+                or (1, c["ta"]) not in htabs:
+            return None
+        c["nbx"] = mcux * c["h"]
+        c["nby"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["nby"] * c["nbx"], 64), dtype=np.int32)
+        c["pred"] = 0
+    rd = _JpegBitReader(data, pos, _JPEG_SCAN_BUDGET)
+    rst_expect = 0
+    for mi in range(mcux * mcuy):
+        if ri and mi and mi % ri == 0:
+            m = rd.align_and_take_marker()
+            if m is None or m != 0xD0 + rst_expect:
+                return None
+            rst_expect = (rst_expect + 1) % 8
+            for c in scan:
+                c["pred"] = 0
+        my, mx = divmod(mi, mcux)
+        for c in scan:
+            dctab = htabs[(0, c["td"])]
+            actab = htabs[(1, c["ta"])]
+            for bi in range(c["v"]):
+                for bj in range(c["h"]):
+                    t = rd.huff(dctab)
+                    if t is None or t > 11:  # 8-bit DC category cap (F.1.2.1.1)
+                        return None
+                    diff = rd.receive_extend(t)
+                    if diff is None:
+                        return None
+                    c["pred"] += diff
+                    row = c["coef"][
+                        (my * c["v"] + bi) * c["nbx"] + mx * c["h"] + bj]
+                    row[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = rd.huff(actab)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL — skip 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        if s > 10:  # 8-bit AC size cap (F.1.2.2.1)
+                            return None
+                        k += r
+                        if k > 63:
+                            return None
+                        v = rd.receive_extend(s)
+                        if v is None:
+                            return None
+                        row[k] = v
+                        k += 1
+    m = _jpeg_idct_basis()
+    zig = np.asarray(_ZIGZAG, dtype=np.int64)
+    planes = []
+    for c in scan:
+        deq = c["coef"] * qtabs[c["tq"]][None, :]  # both in zigzag order
+        spat = np.zeros_like(deq)
+        spat[:, zig] = deq
+        blocks = spat.reshape(-1, 8, 8).astype(np.float64)
+        out = np.einsum("uy,nuv,vx->nyx", m, blocks, m)  # f = MᵀFM per block
+        plane = (
+            out.reshape(c["nby"], c["nbx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["nby"] * 8, c["nbx"] * 8)
+        )
+        plane = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
+        cw = -(-w * c["h"] // hmax)  # component dims (T.81 A.1.1 ceil)
+        ch_ = -(-h * c["v"] // vmax)
+        plane = plane[:ch_, :cw]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:  # grayscale: r = g = b
+        s = int(planes[0].astype(np.int64).sum())
+        return {"n_px": w * h, "sum_r": s, "sum_g": s, "sum_b": s}
+    y, cb, cr = planes  # JFIF component order Y, Cb, Cr
+    # floor(x + 0.5) rounding, mirrored EXACTLY (same double-op order) by
+    # the mm_jpeg_pixels oracle's SQL — both engines do IEEE-754 doubles
+    r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(np.floor(
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    return {"n_px": w * h,
+            "sum_r": int(r.astype(np.int64).sum()),
+            "sum_g": int(g.astype(np.int64).sum()),
+            "sum_b": int(b.astype(np.int64).sum())}
+
+
+def _parse_jpeg_pixels(p: bytes):
+    """REAL pixel decode for baseline sequential JPEG (SOF0/SOF1, Huffman
+    entropy coding) using ONLY numpy + pure Python — no codec library:
+    walk the marker stream (DQT/DHT/SOF/DRI/SOS, APPn and COM skipped),
+    Huffman-decode the interleaved MCU scan with byte-unstuffing and
+    restart-marker handling, dequantize, inverse-DCT every block through
+    one vectorized einsum per component, upsample chroma by sample
+    replication and convert JFIF YCbCr→RGB. Grayscale (1 component) and
+    3-component scans with sampling factors in {1,2} (4:4:4, 4:2:0,
+    4:2:2, 4:4:0) are supported. Returns None — falling through to the
+    documented stub — for progressive (SOF2), arithmetic-coded,
+    hierarchical, 12/16-bit, 4-component (CMYK) or corrupt streams.
+
+    Untrusted-corpus bounds: declared dimensions are checked against
+    ``_JPEG_PX_BUDGET`` BEFORE any entropy work, and the entropy-coded
+    byte count is capped at ``_JPEG_SCAN_BUDGET`` inside the bit reader
+    (Huffman decode is a pure-Python per-symbol loop, so its CPU is
+    O(scan bits) — the same executor-stall class the GIF/PNG budgets
+    bound). A dimension lie either way is safe: oversized declared MCU
+    grids starve the reader into None; undersized ones leave trailing
+    entropy bytes unread."""
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    import numpy as np
+
+    qtabs: dict = {}
+    htabs: dict = {}
+    sof = None
+    ri = 0
+    i = 2
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            return None  # EOI before any scan
+        seglen = int.from_bytes(p[i + 2:i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            return None
+        seg = p[i + 4:i + 2 + seglen]
+        if m == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0 or tq > 3 or j + 65 > len(seg):
+                    return None  # 16-bit quant tables are not baseline
+                qtabs[tq] = np.frombuffer(
+                    seg[j + 1:j + 65], dtype=np.uint8).astype(np.int32)
+                j += 65
+        elif m == 0xC4:  # DHT — possibly several tables per segment
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                if tc > 1 or th > 3:
+                    return None
+                bits = list(seg[j + 1:j + 17])
+                cnt = sum(bits)
+                if j + 17 + cnt > len(seg):
+                    return None
+                tab = _jpeg_build_huffman(
+                    bits, list(seg[j + 17:j + 17 + cnt]))
+                if tab is None:
+                    return None
+                htabs[(tc, th)] = tab
+                j += 17 + cnt
+            if j != len(seg):
+                return None
+        elif m in (0xC0, 0xC1):  # baseline / extended-sequential Huffman SOF
+            if sof is not None or len(seg) < 6 or seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nf = seg[5]
+            if nf not in (1, 3) or len(seg) != 6 + 3 * nf:
+                return None
+            comps = []
+            for c in range(nf):
+                hv = seg[7 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                tq = seg[8 + 3 * c]
+                if hs not in (1, 2) or vs not in (1, 2) or tq > 3:
+                    return None
+                comps.append(
+                    {"id": seg[6 + 3 * c], "h": hs, "v": vs, "tq": tq})
+            if len({c["id"] for c in comps}) != nf:
+                return None
+            if w <= 0 or h <= 0 or w * h > _JPEG_PX_BUDGET:
+                return None
+            sof = (w, h, comps)
+        elif 0xC2 <= m <= 0xCF and m != 0xC4 and m != 0xC8 and m != 0xCC:
+            return None  # progressive / arithmetic / hierarchical / 12-bit
+        elif m == 0xDD:  # DRI
+            if len(seg) != 2:
+                return None
+            ri = int.from_bytes(seg, "big")
+        elif m == 0xDA:  # SOS — single full scan only (baseline)
+            if sof is None or len(seg) < 4:
+                return None
+            w, h, comps = sof
+            ns = seg[0]
+            if ns != len(comps) or len(seg) != 1 + 2 * ns + 3:
+                return None
+            byid = {c["id"]: c for c in comps}
+            scan = []
+            for c in range(ns):
+                comp = byid.get(seg[1 + 2 * c])
+                if comp is None or comp in scan:
+                    return None
+                tt = seg[2 + 2 * c]
+                comp["td"], comp["ta"] = tt >> 4, tt & 15
+                scan.append(comp)
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if ss != 0 or se != 63 or a != 0:
+                return None  # spectral selection / successive approximation
+            return _jpeg_decode_scan(
+                p, i + 2 + seglen, w, h, scan, qtabs, htabs, ri)
+        i += 2 + seglen  # APPn / COM / unknown: skip by declared length
+    return None
+
+
 def _lzw_decode(data: bytes, min_code: int, max_out: int):
     """GIF-flavor LZW decode (LSB-first variable-width codes, clear/end
     codes, 12-bit table cap with deferred-clear tolerance). Pure Python —
@@ -621,6 +1050,8 @@ def _pixel_stats(payload: bytes) -> dict:
             parsed = _parse_png_pixels(b)
         if parsed is None:
             parsed = _parse_gif_pixels(b)
+        if parsed is None:
+            parsed = _parse_jpeg_pixels(b)
     if parsed is None:
         return {"n_px": 0, "sum_r": 0, "sum_g": 0, "sum_b": 0, "mean_lum": None}
     lum = (
@@ -634,9 +1065,10 @@ def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
     """df(key, binary) → per-image pixel statistics via the same Arrow-
     batched mapInPandas shape as decode_binary_column. Real for 24-bit
     uncompressed BMP (numpy over the raw pixel array), 8-bit PNG
-    incl. palette + Adam7 (stdlib zlib + vectorized unfilter), and GIF
-    (pure-Python LZW); JPEG payloads yield n_px=0 / NULL mean until
-    codec libs exist (descoped — COVERAGE.md multimodal row)."""
+    incl. palette + Adam7 (stdlib zlib + vectorized unfilter), GIF
+    (pure-Python LZW), and baseline sequential JPEG (pure-Python Huffman
+    + vectorized numpy IDCT); progressive/arithmetic JPEG yields
+    n_px=0 / NULL mean (COVERAGE.md multimodal row)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1579,6 +1579,65 @@ SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
 FROM sums
 """
 
+# mm_jpeg_pixels: the JPEG decoder Huffman-decodes the MCU scan (DC
+# prediction, EXTEND, byte unstuffing, restart markers), dequantizes,
+# inverse-DCTs and color-converts; the oracle recomputes the channel sums
+# from the constant-per-block arithmetic the builder entropy-coded away.
+# quant=1 DC-only blocks make the DCT round-trip EXACT, and the YCbCr→RGB
+# floor(x+0.5) arithmetic below mirrors the kernel's double-op order
+# exactly (multimodal._jpeg_decode_scan) — a bug in either side's Huffman
+# walk, MCU geometry, IDCT scaling, upsample mapping, or conversion flips
+# the hash. did%4 routes the variant: 0 grayscale (r=g=b=Y), 1 = 4:4:4
+# (chroma region 8x8), 2 = 4:2:0 (16x16), 3 = 4:2:2 (16x8, restarts).
+ORACLES["mm_jpeg_pixels"] = """
+WITH mp AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id % 21 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT did, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+  FROM mp,
+       LATERAL (SELECT unnest(range(w)) AS x) xs,
+       LATERAL (SELECT unnest(range(h)) AS y) ys
+),
+ycc AS (
+  SELECT did, w, h,
+    (did * 3 + (x // 8) * 5 + (y // 8) * 7) % 256 AS yv,
+    CASE WHEN did % 4 = 1 THEN (did * 7 + (x // 8) * 11 + (y // 8) * 13) % 256
+         WHEN did % 4 = 2 THEN (did * 7 + (x // 16) * 11 + (y // 16) * 13) % 256
+         ELSE (did * 7 + (x // 16) * 11 + (y // 8) * 13) % 256 END AS cb,
+    CASE WHEN did % 4 = 1 THEN (did * 5 + (x // 8) * 3 + (y // 8) * 17) % 256
+         WHEN did % 4 = 2 THEN (did * 5 + (x // 16) * 3 + (y // 16) * 17) % 256
+         ELSE (did * 5 + (x // 16) * 3 + (y // 8) * 17) % 256 END AS cr
+  FROM px
+),
+rgb AS (
+  SELECT did, w, h,
+    CASE WHEN did % 4 = 0 THEN yv ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+      yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5) AS BIGINT))) END AS r,
+    CASE WHEN did % 4 = 0 THEN yv ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+      yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+         - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5) AS BIGINT))) END AS g,
+    CASE WHEN did % 4 = 0 THEN yv ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+      yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5) AS BIGINT))) END AS b
+  FROM ycc
+),
+sums AS (
+  SELECT did, MAX(w * h) AS n_px,
+         CAST(SUM(r) AS BIGINT) AS sum_r,
+         CAST(SUM(g) AS BIGINT) AS sum_g,
+         CAST(SUM(b) AS BIGINT) AS sum_b
+  FROM rgb GROUP BY did
+)
+SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
+       CAST(n_px AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+       ROUND((CAST(0.299 AS DOUBLE) * sum_r + CAST(0.587 AS DOUBLE) * sum_g
+              + CAST(0.114 AS DOUBLE) * sum_b) / n_px, 6) AS mean_lum
+FROM sums
+"""
+
 ORACLES["tq_source_curation"] = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

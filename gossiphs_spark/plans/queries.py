@@ -1450,13 +1450,188 @@ def mm_gif_pixels(spark, sf_dir):
     )
 
 
+# Fixture Huffman tables for make_jpeg_bytes: distinct shapes for luma
+# (table ids 0) vs chroma (ids 1) so the decoder's multi-table DHT walk is
+# exercised. DC tables carry the 12 baseline categories; AC tables only
+# need EOB (constant blocks have no AC coefficients).
+_JPEG_DC_BITS0 = [0, 0, 0, 12] + [0] * 12  # 12 categories at code length 4
+_JPEG_DC_BITS1 = [0, 0, 0, 0, 12] + [0] * 11  # same symbols at length 5
+_JPEG_AC_BITS0 = [0, 1] + [0] * 14  # EOB at length 2
+_JPEG_AC_BITS1 = [0, 0, 1] + [0] * 13  # EOB at length 3
+
+
+def jpeg_canonical_codes(bits):
+    """Canonical Huffman (code, length) list in HUFFVAL order from a DHT
+    BITS array (T.81 C.2) — the ENCODER side of the convention the
+    kernel's _jpeg_build_huffman decodes; tests/test_multimodal.py pins
+    the convention itself against hand-computed codes."""
+    codes = []
+    code = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes.append((code, ln))
+            code += 1
+        code <<= 1
+    return codes
+
+
+def make_jpeg_bytes(did: int, w: int, h: int) -> bytes:
+    """Deterministic forward-constructed BASELINE JPEG for the
+    mm_jpeg_pixels round-trip. Every quantization entry is 1 and every
+    8x8 block is a CONSTANT, so the DCT round-trip is EXACT: a constant
+    block's only nonzero coefficient is DC = 8·(v−128) — an integer that
+    quant=1 preserves and the decoder's floor(x+0.5) rounding recovers
+    losslessly — which lets the DuckDB oracle pin channel sums in closed
+    form while the decoder still runs the full baseline machinery
+    (marker walk, two DC + two AC Huffman tables, DC prediction with
+    EXTEND-signed deltas, 0xFF byte stuffing, MCU interleave, chroma
+    upsampling, YCbCr→RGB). did % 4 picks the variant: GRAYSCALE
+    (1 component) / color 4:4:4 / color 4:2:0 / color 4:2:2 with a
+    DRI=2 restart interval (RST markers resetting DC prediction). Luma
+    is constant per 8x8 block, chroma per chroma block (= 8x8 / 16x16 /
+    16x8 luma region); edge padding blocks reuse the block formula, and
+    the decoder's crop discards them."""
+    variant = did % 4
+    gray = variant == 0
+    hy, vy = {0: (1, 1), 1: (1, 1), 2: (2, 2), 3: (2, 1)}[variant]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + b"\x01" * 64
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS0) + bytes(range(12))
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS0) + bytes([0x00]))
+    if not gray:
+        dqt += bytes([0x01]) + b"\x01" * 64
+        dht += (bytes([0x01]) + bytes(_JPEG_DC_BITS1) + bytes(range(12))
+                + bytes([0x11]) + bytes(_JPEG_AC_BITS1) + bytes([0x00]))
+    out += seg(0xDB, dqt)
+    out += seg(0xC4, dht)
+    if gray:
+        nf, sofc, sosc = 1, bytes([1, 0x11, 0]), bytes([1, 0x00])
+    else:
+        nf = 3
+        sofc = bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sosc = bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([nf]) + sofc)
+    ri = 2 if variant == 3 else 0
+    if ri:
+        out += seg(0xDD, ri.to_bytes(2, "big"))
+    out += seg(0xDA, bytes([nf]) + sosc + bytes([0, 63, 0]))
+
+    dc0 = jpeg_canonical_codes(_JPEG_DC_BITS0)
+    dc1 = jpeg_canonical_codes(_JPEG_DC_BITS1)
+    eob0 = jpeg_canonical_codes(_JPEG_AC_BITS0)[0]
+    eob1 = jpeg_canonical_codes(_JPEG_AC_BITS1)[0]
+    buf = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:  # entropy-segment byte stuffing
+                buf.append(0x00)
+        acc &= (1 << nbits) - 1
+
+    def flush_pad() -> None:
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1-bits
+
+    def put_dc(diff: int, codes) -> None:
+        t = abs(diff).bit_length()
+        code, ln = codes[t]
+        put(code, ln)
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    hmax, vmax = hy, vy
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    preds = [0, 0, 0]
+    rstm = mi = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mi and mi % ri == 0:
+                flush_pad()
+                buf += bytes([0xFF, 0xD0 + rstm])
+                rstm = (rstm + 1) % 8
+                preds = [0, 0, 0]
+            for bi in range(vy):
+                for bj in range(hy):
+                    v = (did * 3 + (mx * hy + bj) * 5
+                         + (my * vy + bi) * 7) % 256
+                    dc = 8 * (v - 128)
+                    put_dc(dc - preds[0], dc0)
+                    preds[0] = dc
+                    put(*eob0)
+            if not gray:  # one 1x1 chroma block each per MCU
+                for ci, vv in (
+                    (1, (did * 7 + mx * 11 + my * 13) % 256),
+                    (2, (did * 5 + mx * 3 + my * 17) % 256),
+                ):
+                    dc = 8 * (vv - 128)
+                    put_dc(dc - preds[ci], dc1)
+                    preds[ci] = dc
+                    put(*eob1)
+            mi += 1
+    flush_pad()
+    return bytes(out) + bytes(buf) + b"\xff\xd9"
+
+
+def mm_jpeg_pixels(spark, sf_dir):
+    """Multimodal REAL pixel decode for baseline JPEG, oracle-verified:
+    complete baseline streams (two quant + four Huffman tables, DC
+    prediction, byte stuffing, restart intervals, 4:4:4 / 4:2:0 / 4:2:2
+    and grayscale variants by did % 4) are built by a pandas_udf from
+    constant-per-block doc_id arithmetic — the one JPEG family whose DCT
+    round-trip is EXACT (quant=1 DC-only blocks) — the mapInPandas
+    kernel entropy-decodes and inverse-DCTs them
+    (multimodal._parse_jpeg_pixels — no codec library), and the oracle
+    recomputes the channel sums from the block formulas plus the SAME
+    floor(x+0.5) JFIF YCbCr→RGB arithmetic. A bug in the Huffman walk,
+    DC EXTEND, stuffing, restart handling, MCU geometry, IDCT scaling,
+    upsample mapping, or conversion flips the hash."""
+    from gossiphs_spark.operators.multimodal import decode_pixel_stats
+
+    @F.pandas_udf("binary")
+    def mk_jpeg(did_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_jpeg_bytes(int(did), int(w), int(h))
+            for did, w, h in zip(did_s, w_s, h_s)
+        ])
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did"),
+        (F.col("doc_id") % 21 + 4).cast("long").alias("w"),
+        (F.col("doc_id") % 13 + 4).cast("long").alias("h"),
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        mk_jpeg("did", "w", "h").alias("payload"),
+    )
+    return decode_pixel_stats(payloads).select(
+        "url", "n_px", "sum_r", "sum_g", "sum_b",
+        F.round("mean_lum", 6).alias("mean_lum"),
+    )
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs
-    in this container; the Spark-side path is real). With PNG, GIF and
-    BMP pixel decode now real, the stub's remaining production surface is
-    JPEG — deliberately descoped; see COVERAGE.md's multimodal JPEG row
-    for the rationale and the PIL swap seam."""
+    in this container; the Spark-side path is real). With PNG, GIF, BMP
+    AND baseline-JPEG pixel decode now real (mm_jpeg_pixels), the stub's
+    remaining production surface is progressive/arithmetic JPEG, resize,
+    perceptual hashing and video — the documented PIL/ffmpeg swap seam
+    (COVERAGE.md multimodal rows)."""
     from gossiphs_spark.operators.multimodal import decode_binary_column
 
     d = load_table(spark, sf_dir, "documents")

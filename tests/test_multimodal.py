@@ -656,3 +656,299 @@ def test_bmp_and_header_adversarial():
     lie = bytearray(_mk_bmp(2, 2, px))
     lie[18:22] = (1 << 30).to_bytes(4, "little")
     assert _parse_bmp_pixels(bytes(lie)) is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential decoder (_parse_jpeg_pixels)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_canonical_huffman_convention():
+    """Pin the canonical-code convention ITSELF (T.81 C.2) with
+    hand-computed codes, independent of the fixture encoder: BITS with
+    one code each at lengths 1/2/3 must yield 0b0, 0b10, 0b110 — so an
+    encoder/decoder PAIR sharing a wrong convention cannot slip through
+    the round-trip unnoticed."""
+    from gossiphs_spark.operators.multimodal import (
+        _JpegBitReader, _jpeg_build_huffman)
+    from gossiphs_spark.plans.queries import jpeg_canonical_codes
+
+    bits = [1, 1, 1] + [0] * 13
+    assert jpeg_canonical_codes(bits) == [(0b0, 1), (0b10, 2), (0b110, 3)]
+    tab = _jpeg_build_huffman(bits, [5, 6, 7])
+    # bitstream 0 | 10 | 110 | (pad 11) = 0b01011011 = 0x5B
+    rd = _JpegBitReader(b"\x5b", 0, 1 << 10)
+    assert [rd.huff(tab) for _ in range(3)] == [5, 6, 7]
+
+
+def test_jpeg_idct_basis_matches_formula():
+    """The decoder's cached basis equals the T.81 A.3.3 definition
+    computed independently here (float tolerance — no rounding cliff)."""
+    import math
+
+    import numpy as np
+
+    from gossiphs_spark.operators.multimodal import _jpeg_idct_basis
+
+    m = _jpeg_idct_basis()
+    for u in range(8):
+        cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        for x in range(8):
+            want = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            assert abs(m[u, x] - want) < 1e-12
+    # orthonormality: M Mᵀ = I  → the matrix-form IDCT is exact inverse
+    assert np.allclose(m @ m.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_zigzag_order():
+    """First/last entries of the generated zigzag against the published
+    sequence (T.81 Figure 5), plus permutation completeness."""
+    from gossiphs_spark.operators.multimodal import _ZIGZAG
+
+    assert _ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert _ZIGZAG[-4:] == [47, 55, 62, 63]
+    assert sorted(_ZIGZAG) == list(range(64))
+
+
+def _encode_jpeg_coeffs(w, h, blocks_zig, qtab=None):
+    """Test-side GENERAL baseline encoder: arbitrary quantized
+    coefficient blocks (zigzag order, one 64-list per 8x8 block,
+    row-major grid) → a grayscale baseline JPEG with general AC
+    run/size coding incl. ZRL and EOB. Independent of the fixture
+    encoder's DC-only path — this is what exercises the decoder's AC
+    loop, ZRL skips, and long-code Huffman fallback."""
+    from gossiphs_spark.plans.queries import jpeg_canonical_codes
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    # all 162 AC symbols at length 8 (Kraft 162/256; all-ones unused)
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    dc_codes = jpeg_canonical_codes(dc_bits)
+    ac_codes = dict(zip(ac_vals, jpeg_canonical_codes(ac_bits)))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    q = qtab or [1] * 64
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+               + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    buf = bytearray()
+    acc = nbits = 0
+
+    def put(code, ln):
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+        acc &= (1 << nbits) - 1
+
+    pred = 0
+    for blk in blocks_zig:
+        diff = blk[0] - pred
+        pred = blk[0]
+        t = abs(diff).bit_length()
+        put(*dc_codes[t])
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and blk[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                put(*ac_codes[0x00])  # EOB
+                break
+            while run >= 16:
+                put(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            v = blk[k]
+            s = abs(v).bit_length()
+            put(*ac_codes[(run << 4) | s])
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+            k += 1
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+    return bytes(out) + bytes(buf) + b"\xff\xd9"
+
+
+def _expected_gray_sums(w, h, blocks_zig, qtab=None):
+    """Expected sums via the decoder's OWN basis matrix (isolating
+    Huffman/zigzag/dequant/assembly from cos-value ulps, which
+    test_jpeg_idct_basis_matches_formula pins separately)."""
+    import numpy as np
+
+    from gossiphs_spark.operators.multimodal import (
+        _ZIGZAG, _jpeg_idct_basis)
+
+    q = np.asarray(qtab or [1] * 64, dtype=np.int64)
+    m = _jpeg_idct_basis()
+    nbx = -(-w // 8)
+    plane = np.zeros((-(-h // 8) * 8, nbx * 8))
+    for i, blk in enumerate(blocks_zig):
+        deq = np.asarray(blk, dtype=np.int64) * q
+        spat = np.zeros(64)
+        spat[np.asarray(_ZIGZAG)] = deq
+        f = m.T @ spat.reshape(8, 8) @ m
+        by, bx = divmod(i, nbx)
+        plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = f
+    plane = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)[:h, :w]
+    s = int(plane.astype(np.int64).sum())
+    return {"n_px": w * h, "sum_r": s, "sum_g": s, "sum_b": s}
+
+
+def test_jpeg_general_ac_roundtrip():
+    """Arbitrary AC coefficients (runs, ZRL, EOB, signed EXTEND, a
+    non-trivial quant table) through the general test encoder decode to
+    exactly the IDCT the test computes independently."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+
+    rng = random.Random(1234)
+    for trial in range(25):
+        w = rng.randrange(1, 25)
+        h = rng.randrange(1, 21)
+        nblocks = (-(-w // 8)) * (-(-h // 8))
+        qtab = [rng.randrange(1, 9) for _ in range(64)]
+        blocks = []
+        for _ in range(nblocks):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-200, 201)
+            for _ in range(rng.randrange(0, 12)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-63, 64) or 1
+            blocks.append(blk)
+        p = _encode_jpeg_coeffs(w, h, blocks, qtab)
+        assert _parse_jpeg_pixels(p) == _expected_gray_sums(w, h, blocks, qtab)
+
+
+def test_jpeg_zrl_and_long_runs():
+    """A block whose only AC lives past four ZRL skips, and one whose
+    run ends exactly at k=63 (no EOB needed)."""
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+
+    blk1 = [0] * 64
+    blk1[0] = 50
+    blk1[63] = 7  # 62 zeros → 3 ZRLs + run-14
+    blk2 = [0] * 64
+    blk2[0] = -50
+    blk2[1] = -1
+    p = _encode_jpeg_coeffs(16, 8, [blk1, blk2])
+    assert _parse_jpeg_pixels(p) == _expected_gray_sums(16, 8, [blk1, blk2])
+
+
+def test_jpeg_fixture_variants_golden():
+    """make_jpeg_bytes round-trips EXACTLY (quant=1 constant blocks) for
+    all four variants, against sums computed from the pixel formulas —
+    the same arithmetic the mm_jpeg_pixels oracle pins in SQL."""
+    import math
+
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+    from gossiphs_spark.plans.queries import make_jpeg_bytes
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    for did in (0, 1, 2, 3, 16, 37, 58, 119, 253):
+        w, h = did % 21 + 4, did % 13 + 4
+        variant = did % 4
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                yv = (did * 3 + (x // 8) * 5 + (y // 8) * 7) % 256
+                if variant == 0:
+                    r = g = b = yv
+                else:
+                    cx, cy = {1: (x // 8, y // 8), 2: (x // 16, y // 16),
+                              3: (x // 16, y // 8)}[variant]
+                    cb = (did * 7 + cx * 11 + cy * 13) % 256
+                    cr = (did * 5 + cx * 3 + cy * 17) % 256
+                    r = clip(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+                    g = clip(math.floor(yv - 0.344136 * (cb - 128)
+                                        - 0.714136 * (cr - 128) + 0.5))
+                    b = clip(math.floor(yv + 1.772 * (cb - 128) + 0.5))
+                sr += r
+                sg += g
+                sb += b
+        assert _parse_jpeg_pixels(make_jpeg_bytes(did, w, h)) == {
+            "n_px": w * h, "sum_r": sr, "sum_g": sg, "sum_b": sb}
+
+
+def test_jpeg_rejects_undecodable():
+    """Non-baseline and structurally corrupt streams fall to None (the
+    stub), never raise: progressive SOF2, arithmetic SOF9, 16-bit quant,
+    4-component, oversized dims (px budget), bad restart sequence,
+    truncation at EVERY byte boundary, and random bit flips."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import (
+        _JPEG_PX_BUDGET, _parse_jpeg_pixels)
+    from gossiphs_spark.plans.queries import make_jpeg_bytes
+
+    # did=19 → variant 3 (4:2:2 + DRI), 23x10 → 4 MCUs → a real RST0
+    good = make_jpeg_bytes(19, 19 % 21 + 4, 19 % 13 + 4)
+    assert _parse_jpeg_pixels(good) is not None
+
+    # marker-type rewrites: SOF0 → progressive / arithmetic
+    i = good.find(b"\xff\xc0")
+    for marker in (0xC2, 0xC9, 0xCA):
+        assert _parse_jpeg_pixels(
+            good[:i + 1] + bytes([marker]) + good[i + 2:]) is None
+    # 16-bit quant table flag
+    j = good.find(b"\xff\xdb")
+    assert _parse_jpeg_pixels(
+        good[:j + 4] + bytes([good[j + 4] | 0x10]) + good[j + 5:]) is None
+    # dimension lie past the px budget (SOF height = 0xFFFF, width big)
+    side = int(_JPEG_PX_BUDGET ** 0.5) + 80
+    lied = good[:i + 5] + side.to_bytes(2, "big") + side.to_bytes(2, "big") \
+        + good[i + 9:]
+    assert _parse_jpeg_pixels(lied) is None
+    # dimension lie within budget but larger than the entropy data: the
+    # reader starves at a marker and the decode degrades to None
+    lied2 = good[:i + 5] + (64).to_bytes(2, "big") + (64).to_bytes(2, "big") \
+        + good[i + 9:]
+    assert _parse_jpeg_pixels(lied2) is None
+    # corrupt restart ordinal: first RST0 (0xFFD0) → RST5
+    k = good.find(b"\xff\xd0")
+    assert k > 0
+    assert _parse_jpeg_pixels(
+        good[:k + 1] + bytes([0xD5]) + good[k + 2:]) is None
+    # truncation at every byte boundary: None or a dict, never a raise
+    for ln in range(len(good)):
+        r = _parse_jpeg_pixels(good[:ln])
+        assert r is None or isinstance(r, dict)
+    # seeded random single-bit flips anywhere in the stream
+    rng = random.Random(99)
+    for _ in range(300):
+        pos = rng.randrange(len(good))
+        flipped = bytearray(good)
+        flipped[pos] ^= 1 << rng.randrange(8)
+        r = _parse_jpeg_pixels(bytes(flipped))
+        assert r is None or isinstance(r, dict)
+
+
+def test_jpeg_scan_budget_bounds_cpu(monkeypatch):
+    """A stream whose entropy segment exceeds _JPEG_SCAN_BUDGET degrades
+    to None after at most budget+1 consumed bytes — the executor-stall
+    bound for crafted scans."""
+    import gossiphs_spark.operators.multimodal as mmod
+
+    good = make = None
+    from gossiphs_spark.plans.queries import make_jpeg_bytes as make
+    good = make(1, 24, 16)
+    monkeypatch.setattr(mmod, "_JPEG_SCAN_BUDGET", 4)
+    assert mmod._parse_jpeg_pixels(good) is None

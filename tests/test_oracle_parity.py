@@ -120,6 +120,7 @@ FLAGSHIPS = {
     "a13_score_buckets",
     # r8: a NEW query's first recorded row must come from the driver
     "j3_same_host_cap",
+    "mm_jpeg_pixels",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
