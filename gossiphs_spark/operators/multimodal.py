@@ -739,10 +739,11 @@ def _jpeg_decode_scan(data, pos, w, h, scan, qtabs, htabs, ri):
     planes = []
     for c in scan:
         deq = c["coef"] * qtabs[c["tq"]][None, :]  # both in zigzag order
-        spat = np.zeros_like(deq)
-        spat[:, zig] = deq
-        blocks = spat.reshape(-1, 8, 8).astype(np.float64)
-        out = np.einsum("uy,nuv,vx->nyx", m, blocks, m)  # f = MᵀFM per block
+        spat = np.zeros(deq.shape, dtype=np.float64)
+        spat[:, zig] = deq  # de-zigzag + int→float in one write
+        # f = MᵀFM per block — batched BLAS matmul over the block axis
+        # (~3× faster than the equivalent einsum at 60k+ blocks)
+        out = m.T @ spat.reshape(-1, 8, 8) @ m
         plane = (
             out.reshape(c["nby"], c["nbx"], 8, 8)
             .transpose(0, 2, 1, 3)
