@@ -84,7 +84,6 @@ _QUERY_NAMES = [
     "dd_ngram_jaccard",
     "u4_canonical_components",
     "u4_triples_canonical",
-    "tq_token_stats",
     "tq_quality",
     "tq_langid",
     "tq_source_curation",
@@ -101,6 +100,9 @@ _QUERY_NAMES = [
     # must come from the driver, so it enters the window immediately;
     # a10_file_metadata (green r6+r7) parks to make room
     "mm_jpeg_pixels",
+    # NEW late-r8: REAL PCM16 WAV audio decode (first non-image
+    # multimodal surface); tq_token_stats (green r6+r7) parks
+    "mm_wav_stats",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -128,8 +130,10 @@ _QUERY_NAMES = [
     "tq_winnow_fingerprints",
     "dd_simhash",
     "j1_candidate_counts",
-    # parked late-r8 (green r6+r7) to make room for mm_jpeg_pixels
+    # parked late-r8 (green r6+r7) to make room for mm_jpeg_pixels /
+    # mm_wav_stats
     "a10_file_metadata",
+    "tq_token_stats",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

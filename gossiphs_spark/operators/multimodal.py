@@ -1061,6 +1061,111 @@ def _pixel_stats(payload: bytes) -> dict:
     return {**parsed, "mean_lum": lum}
 
 
+# Per-clip cap on total samples (frames × channels) for WAV decode: the
+# decode itself is one vectorized numpy pass, so this bounds MEMORY (a
+# crafted RIFF length cannot drive a multi-GB frombuffer), not a Python
+# loop. 16M samples ≈ 5.8 min of 48 kHz stereo ≈ 64 MB of int64 staging.
+_WAV_SAMPLE_BUDGET = 16_000_000
+
+AUDIO_SCHEMA = (
+    "url string, n_frames long, n_channels long, sample_rate long, "
+    "sum_abs long, sum_sq long, zero_cross long, rms double"
+)
+
+
+def _parse_wav_stats(p: bytes):
+    """REAL audio decode for PCM16 RIFF/WAVE using ONLY numpy — no codec
+    library (canonical WAV is a struct walk plus a raw little-endian
+    int16 sample array): walk the word-aligned RIFF chunk list (unknown
+    chunks like LIST/INFO skipped by declared length), require an
+    integer-PCM ``fmt `` (format 1, 16-bit), then one vectorized pass
+    over the ``data`` samples → amplitude sums, energy, and per-channel
+    zero crossings (adjacent frames whose signs differ). Returns None —
+    falling to the documented stub — for float/ADPCM/compressed formats,
+    other bit depths, truncated chunks, or clips over the sample budget.
+    Trailing partial frames (a data chunk not a multiple of the frame
+    size) are dropped, matching common reader behavior."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    import numpy as np
+
+    fmt = None
+    data = None
+    i = 12
+    n = len(p)
+    while i + 8 <= n and (fmt is None or data is None):
+        cid = p[i:i + 4]
+        ln = int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            if ln < 16:
+                return None
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16 or channels == 0 or rate == 0:
+                return None  # float/ADPCM/compressed → the codec-lib seam
+            fmt = (channels, rate)
+        elif cid == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    channels, rate = fmt
+    frames = len(data) // (2 * channels)
+    if frames == 0 or frames * channels > _WAV_SAMPLE_BUDGET:
+        return None
+    s = (
+        np.frombuffer(data, dtype="<i2", count=frames * channels)
+        .astype(np.int64)
+        .reshape(frames, channels)
+    )
+    neg = s < 0
+    nsamp = frames * channels
+    sum_sq = int((s * s).sum())
+    import math
+
+    return {
+        "n_frames": frames,
+        "n_channels": channels,
+        "sample_rate": rate,
+        "sum_abs": int(np.abs(s).sum()),
+        "sum_sq": sum_sq,
+        "zero_cross": int((neg[1:] != neg[:-1]).sum()),
+        # sqrt is IEEE-correctly-rounded in both numpy/libm and DuckDB,
+        # so the oracle reproduces this double exactly
+        "rms": math.sqrt(sum_sq / nsamp),
+    }
+
+
+def decode_audio_stats(df: DataFrame, binary_col: str = "payload",
+                       key_col: str = "url") -> DataFrame:
+    """df(key, binary) → per-clip audio statistics via the same Arrow-
+    batched mapInPandas shape as decode_pixel_stats. REAL for PCM16
+    RIFF/WAVE (numpy over the raw sample array — no codec library);
+    float/compressed formats yield n_frames=0 / NULL rms until codec
+    libs exist (the documented ffmpeg swap seam)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {"n_frames": 0, "n_channels": 0, "sample_rate": 0,
+                 "sum_abs": 0, "sum_sq": 0, "zero_cross": 0, "rms": None}
+        for pdf in batches:
+            metas = []
+            for payload in pdf[binary_col]:
+                parsed = None
+                if payload is not None and len(payload) > 0:
+                    parsed = _parse_wav_stats(bytes(payload))
+                metas.append(parsed if parsed is not None else dict(empty))
+            out = pd.DataFrame(metas)
+            out.insert(0, "url", list(pdf[key_col]))
+            yield out
+
+    return df.select(key_col, binary_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
 def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
                        key_col: str = "url") -> DataFrame:
     """df(key, binary) → per-image pixel statistics via the same Arrow-

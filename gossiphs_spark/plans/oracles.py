@@ -1638,6 +1638,51 @@ SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
 FROM sums
 """
 
+# mm_wav_stats: the WAV decoder walks word-aligned RIFF chunks and runs
+# one vectorized pass over the interleaved int16 samples; the oracle
+# recomputes amplitude/energy sums and per-channel zero crossings from
+# the sample formula directly. sqrt is correctly rounded in both engines,
+# so the RMS double matches exactly.
+ORACLES["mm_wav_stats"] = """
+WITH mp AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id % 300 + 20 AS BIGINT) AS f,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+         CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS rate
+  FROM documents
+),
+agg AS (
+  SELECT did, MAX(f) AS f, MAX(ch) AS ch, MAX(rate) AS rate,
+         CAST(SUM(ABS(((did * 7 + i.i * 13 + c.c * 5) % 4096) - 2048))
+              AS BIGINT) AS sum_abs,
+         CAST(SUM((((did * 7 + i.i * 13 + c.c * 5) % 4096) - 2048)
+                * (((did * 7 + i.i * 13 + c.c * 5) % 4096) - 2048))
+              AS BIGINT) AS sum_sq
+  FROM mp,
+       LATERAL (SELECT unnest(range(f)) AS i) i,
+       LATERAL (SELECT unnest(range(ch)) AS c) c
+  GROUP BY did
+),
+zc AS (
+  SELECT did,
+         CAST(SUM(CASE WHEN
+             ((((did * 7 + i.i * 13 + c.c * 5) % 4096) - 2048 < 0)
+              <> (((did * 7 + (i.i + 1) * 13 + c.c * 5) % 4096) - 2048 < 0))
+           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+  FROM mp,
+       LATERAL (SELECT unnest(range(f - 1)) AS i) i,
+       LATERAL (SELECT unnest(range(ch)) AS c) c
+  GROUP BY did
+)
+SELECT 'doc://' || CAST(agg.did AS VARCHAR) AS url,
+       CAST(agg.f AS BIGINT) AS n_frames,
+       CAST(agg.ch AS BIGINT) AS n_channels,
+       CAST(agg.rate AS BIGINT) AS sample_rate,
+       sum_abs, sum_sq, zc.zero_cross,
+       ROUND(SQRT(CAST(sum_sq AS DOUBLE) / (agg.f * agg.ch)), 6) AS rms
+FROM agg JOIN zc ON agg.did = zc.did
+"""
+
 ORACLES["tq_source_curation"] = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

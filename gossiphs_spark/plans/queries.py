@@ -1624,6 +1624,71 @@ def mm_jpeg_pixels(spark, sf_dir):
     )
 
 
+def make_wav_bytes(did: int, frames: int, channels: int, rate: int) -> bytes:
+    """Deterministic forward-constructed PCM16 RIFF/WAVE for the
+    mm_wav_stats round-trip: interleaved little-endian int16 samples
+    s(i, c) = ((did·7 + i·13 + c·5) % 4096) − 2048 spanning both signs
+    (so zero-crossing counts are non-trivial); did % 3 == 0 inserts a
+    skippable ODD-length LIST chunk before ``fmt `` so the decoder's
+    word-aligned chunk walk (pad byte) is exercised."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(frames, dtype=np.int64)[:, None]
+    c = np.arange(channels, dtype=np.int64)[None, :]
+    samp = (((did * 7 + i * 13 + c * 5) % 4096) - 2048).astype("<i2").tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    chunks = b""
+    if did % 3 == 0:
+        chunks += chunk(b"LIST", b"INFOxyz")  # odd length → pad byte
+    chunks += chunk(b"fmt ", struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16))
+    chunks += chunk(b"data", samp)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def mm_wav_stats(spark, sf_dir):
+    """Multimodal REAL audio decode, oracle-verified: complete PCM16
+    RIFF/WAVE clips (mono/stereo, varying rates, word-aligned skippable
+    chunks) are built by a pandas_udf from doc_id sample arithmetic, the
+    mapInPandas kernel decodes the raw int16 array
+    (multimodal._parse_wav_stats — numpy, no codec library) into
+    amplitude/energy sums, per-channel zero crossings and RMS, and the
+    oracle derives the same stats from the sample formula directly. A
+    bug in the chunk walk, fmt parse, interleave, sign handling, or
+    zero-cross pairing flips the hash."""
+    from gossiphs_spark.operators.multimodal import decode_audio_stats
+
+    @F.pandas_udf("binary")
+    def mk_wav(did_s: pd.Series, f_s: pd.Series, ch_s: pd.Series,
+               r_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_wav_bytes(int(did), int(f), int(ch), int(r))
+            for did, f, ch, r in zip(did_s, f_s, ch_s, r_s)
+        ])
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did"),
+        (F.col("doc_id") % 300 + 20).cast("long").alias("f"),
+        (F.col("doc_id") % 2 + 1).cast("long").alias("ch"),
+        (F.lit(8000) + (F.col("doc_id") % 5) * 4000).cast("long").alias("r"),
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        mk_wav("did", "f", "ch", "r").alias("payload"),
+    )
+    return decode_audio_stats(payloads).select(
+        "url", "n_frames", "n_channels", "sample_rate",
+        "sum_abs", "sum_sq", "zero_cross",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs

@@ -952,3 +952,102 @@ def test_jpeg_scan_budget_bounds_cpu(monkeypatch):
     good = make(1, 24, 16)
     monkeypatch.setattr(mmod, "_JPEG_SCAN_BUDGET", 4)
     assert mmod._parse_jpeg_pixels(good) is None
+
+
+# ---------------------------------------------------------------------------
+# WAV — PCM16 RIFF audio decoder (_parse_wav_stats)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_golden_and_chunk_walk():
+    """Hand-computable clip: mono, 4 frames [100, -5, 0, 7] → sums,
+    zero crossings (sign pairs: +/-, -/+(0 counts as non-negative),
+    +/+) and exact RMS; the did%3==0 fixture variant prepends an
+    odd-length LIST chunk the walk must skip with its pad byte."""
+    import math
+    import struct
+
+    from gossiphs_spark.operators.multimodal import _parse_wav_stats
+    from gossiphs_spark.plans.queries import make_wav_bytes
+
+    samp = struct.pack("<4h", 100, -5, 0, 7)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(samp)).to_bytes(4, "little")
+           + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+           + b"data" + len(samp).to_bytes(4, "little") + samp)
+    got = _parse_wav_stats(wav)
+    assert got == {
+        "n_frames": 4, "n_channels": 1, "sample_rate": 8000,
+        "sum_abs": 112, "sum_sq": 10074, "zero_cross": 2,
+        "rms": math.sqrt(10074 / 4),
+    }
+    # fixture variant with the skippable odd LIST chunk (did=3 → %3==0)
+    p = make_wav_bytes(3, 25, 2, 12000)
+    st = _parse_wav_stats(p)
+    assert st is not None and st["n_frames"] == 25 and st["n_channels"] == 2
+    # interleave check: stereo [L0 R0 L1 R1] with a sign flip only on R
+    samp2 = struct.pack("<4h", 10, -1, 20, 1)
+    fmt2 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav2 = (b"RIFF" + (4 + 8 + len(fmt2) + 8 + len(samp2)).to_bytes(4, "little")
+            + b"WAVE" + b"fmt " + len(fmt2).to_bytes(4, "little") + fmt2
+            + b"data" + len(samp2).to_bytes(4, "little") + samp2)
+    st2 = _parse_wav_stats(wav2)
+    assert st2["n_frames"] == 2 and st2["zero_cross"] == 1  # R channel only
+
+
+def test_wav_rejects_undecodable(monkeypatch):
+    """Float/ADPCM formats, other bit depths, truncation at every byte,
+    bit flips, and over-budget clips all return None-or-dict, never
+    raise."""
+    import random
+
+    import gossiphs_spark.operators.multimodal as mmod
+    from gossiphs_spark.plans.queries import make_wav_bytes
+
+    good = make_wav_bytes(7, 40, 2, 16000)
+    assert mmod._parse_wav_stats(good) is not None
+    fmt_at = good.find(b"fmt ")
+    # audio format 3 (IEEE float) and 8-bit depth → None (codec seam)
+    fl = bytearray(good)
+    fl[fmt_at + 8] = 3
+    assert mmod._parse_wav_stats(bytes(fl)) is None
+    bd = bytearray(good)
+    bd[fmt_at + 8 + 14] = 8
+    assert mmod._parse_wav_stats(bytes(bd)) is None
+    # truncation at every byte boundary
+    for ln in range(len(good)):
+        r = mmod._parse_wav_stats(good[:ln])
+        assert r is None or isinstance(r, dict)
+    # seeded bit flips
+    rng = random.Random(5)
+    for _ in range(200):
+        f = bytearray(good)
+        f[rng.randrange(len(f))] ^= 1 << rng.randrange(8)
+        r = mmod._parse_wav_stats(bytes(f))
+        assert r is None or isinstance(r, dict)
+    # sample budget: a tiny cap rejects the clip before any numpy work
+    monkeypatch.setattr(mmod, "_WAV_SAMPLE_BUDGET", 10)
+    assert mmod._parse_wav_stats(good) is None
+
+
+def test_wav_fixture_matches_formula():
+    """make_wav_bytes round-trips exactly against sums computed from the
+    sample formula — the same arithmetic the mm_wav_stats oracle pins."""
+    from gossiphs_spark.operators.multimodal import _parse_wav_stats
+    from gossiphs_spark.plans.queries import make_wav_bytes
+
+    for did in (0, 1, 2, 3, 11, 58, 123):
+        f, ch = did % 300 + 20, did % 2 + 1
+        st = _parse_wav_stats(make_wav_bytes(did, f, ch, 8000))
+        sa = sq = zc = 0
+        for c in range(ch):
+            prev = None
+            for i in range(f):
+                s = ((did * 7 + i * 13 + c * 5) % 4096) - 2048
+                sa += abs(s)
+                sq += s * s
+                if prev is not None and (prev < 0) != (s < 0):
+                    zc += 1
+                prev = s
+        assert (st["sum_abs"], st["sum_sq"], st["zero_cross"]) == (sa, sq, zc)
+        assert st["n_frames"] == f and st["n_channels"] == ch

@@ -121,6 +121,7 @@ FLAGSHIPS = {
     # r8: a NEW query's first recorded row must come from the driver
     "j3_same_host_cap",
     "mm_jpeg_pixels",
+    "mm_wav_stats",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
