@@ -75,8 +75,6 @@ _QUERY_NAMES = [
     "a9_related_with_symbols",
     "a9_symbol_neighbors",
     "tq_fingerprint",
-    # scalar suite (§2.7)
-    "x_scalar_suite",
     # training-data pipeline ops
     "dd_exact_dups",
     "dd_embedding_neardup",
@@ -103,6 +101,10 @@ _QUERY_NAMES = [
     # NEW late-r8: REAL PCM16 WAV audio decode (first non-image
     # multimodal surface); tq_token_stats (green r6+r7) parks
     "mm_wav_stats",
+    # NEW late-r8: REAL RIFF-AVI video container metadata (closes the
+    # image/audio/video triad at container level); x_scalar_suite
+    # (green r6+r7) parks
+    "mm_avi_meta",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -134,6 +136,7 @@ _QUERY_NAMES = [
     # mm_wav_stats
     "a10_file_metadata",
     "tq_token_stats",
+    "x_scalar_suite",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

@@ -1141,6 +1141,104 @@ def _parse_wav_stats(p: bytes):
     }
 
 
+VIDEO_SCHEMA = (
+    "url string, n_frames long, width long, height long, "
+    "us_per_frame long, n_streams long, n_video long, n_audio long, "
+    "fps double"
+)
+
+
+def _parse_avi_meta(p: bytes):
+    """REAL video CONTAINER decode for RIFF AVI — metadata only, no codec
+    library (the frame payloads are codec-compressed; decoding them is
+    the documented ffmpeg seam): walk the nested RIFF LIST tree to the
+    ``hdrl`` list, read the ``avih`` main header (frame count, dims,
+    µs/frame, declared stream count) and count ``strh`` stream headers
+    by fccType (``vids``/``auds``) — the metadata a curation pipeline
+    filters on (duration, resolution, stream mix) before any frame work.
+    Returns None for non-AVI RIFF (e.g. WAVE), truncated chunks, absent
+    or short ``avih``, or implausible zero dims/frame timing. The walk
+    is depth-capped and advances by declared lengths, so cost is
+    O(header bytes) regardless of payload size."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    avih = None
+    vids = auds = strh = 0
+
+    def walk(lo: int, hi: int, depth: int) -> bool:
+        nonlocal avih, vids, auds, strh
+        if depth > 6:
+            return False
+        i = lo
+        while i + 8 <= hi:
+            cid = p[i:i + 4]
+            ln = int.from_bytes(p[i + 4:i + 8], "little")
+            if i + 8 + ln > hi:
+                return False  # truncated chunk
+            if cid == b"LIST":
+                if ln < 4 or not walk(i + 12, i + 8 + ln, depth + 1):
+                    return False
+            elif cid == b"avih":
+                if ln < 40:
+                    return False
+                avih = p[i + 8:i + 8 + ln]
+            elif cid == b"strh":
+                if ln < 4:
+                    return False
+                strh += 1
+                fcc = p[i + 8:i + 12]
+                if fcc == b"vids":
+                    vids += 1
+                elif fcc == b"auds":
+                    auds += 1
+            i += 8 + ln + (ln & 1)  # word alignment
+        return True
+
+    if not walk(12, len(p), 0) or avih is None:
+        return None
+    uspf = int.from_bytes(avih[0:4], "little")
+    frames = int.from_bytes(avih[16:20], "little")
+    streams = int.from_bytes(avih[24:28], "little")
+    w = int.from_bytes(avih[32:36], "little")
+    h = int.from_bytes(avih[36:40], "little")
+    if uspf == 0 or w == 0 or h == 0:
+        return None
+    return {
+        "n_frames": frames, "width": w, "height": h,
+        "us_per_frame": uspf, "n_streams": streams,
+        "n_video": vids, "n_audio": auds,
+        # 1e6/uspf: one exact-int-to-double division, identical in both
+        # engines; the oracle mirrors it verbatim
+        "fps": 1000000.0 / uspf,
+    }
+
+
+def decode_video_meta(df: DataFrame, binary_col: str = "payload",
+                      key_col: str = "url") -> DataFrame:
+    """df(key, binary) → per-clip video container metadata via the same
+    Arrow-batched mapInPandas shape as decode_audio_stats. REAL for RIFF
+    AVI headers (no codec library needed for container metadata);
+    frame-pixel decode and other containers (MP4/Matroska need full box/
+    EBML parsers) yield the zero row until media libs exist — the
+    documented ffmpeg swap seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {"n_frames": 0, "width": 0, "height": 0, "us_per_frame": 0,
+                 "n_streams": 0, "n_video": 0, "n_audio": 0, "fps": None}
+        for pdf in batches:
+            metas = []
+            for payload in pdf[binary_col]:
+                parsed = None
+                if payload is not None and len(payload) > 0:
+                    parsed = _parse_avi_meta(bytes(payload))
+                metas.append(parsed if parsed is not None else dict(empty))
+            out = pd.DataFrame(metas)
+            out.insert(0, "url", list(pdf[key_col]))
+            yield out
+
+    return df.select(key_col, binary_col).mapInPandas(run, VIDEO_SCHEMA)
+
+
 def decode_audio_stats(df: DataFrame, binary_col: str = "payload",
                        key_col: str = "url") -> DataFrame:
     """df(key, binary) → per-clip audio statistics via the same Arrow-

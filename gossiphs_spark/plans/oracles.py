@@ -1683,6 +1683,22 @@ SELECT 'doc://' || CAST(agg.did AS VARCHAR) AS url,
 FROM agg JOIN zc ON agg.did = zc.did
 """
 
+# mm_avi_meta: the AVI decoder walks the nested word-aligned RIFF LIST
+# tree to avih/strh; the oracle recomputes the header fields from the
+# same doc_id arithmetic the builder serialized.
+ORACLES["mm_avi_meta"] = """
+SELECT 'doc://' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS url,
+       CAST(doc_id % 1000 + 10 AS BIGINT) AS n_frames,
+       CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+       CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+       CAST(33333 + (doc_id % 5) * 8333 AS BIGINT) AS us_per_frame,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_streams,
+       CAST(1 AS BIGINT) AS n_video,
+       CAST(doc_id % 2 AS BIGINT) AS n_audio,
+       ROUND(CAST(1000000 AS DOUBLE) / (33333 + (doc_id % 5) * 8333), 6) AS fps
+FROM documents
+"""
+
 ORACLES["tq_source_curation"] = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1051,3 +1051,45 @@ def test_wav_fixture_matches_formula():
                 prev = s
         assert (st["sum_abs"], st["sum_sq"], st["zero_cross"]) == (sa, sq, zc)
         assert st["n_frames"] == f and st["n_channels"] == ch
+
+
+# ---------------------------------------------------------------------------
+# AVI — RIFF video container metadata (_parse_avi_meta)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_meta_golden_and_rejects():
+    """Fixture round-trip against the header formulas, non-AVI RIFF
+    rejection (a WAV must not parse as video), truncation at every byte,
+    and seeded bit flips — None-or-dict, never a raise."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _parse_avi_meta
+    from gossiphs_spark.plans.queries import make_avi_bytes, make_wav_bytes
+
+    for did in (0, 1, 4, 9, 57, 444):
+        st = _parse_avi_meta(make_avi_bytes(did))
+        assert st is not None
+        assert st["n_frames"] == did % 1000 + 10
+        assert (st["width"], st["height"]) == (did % 640 + 16, did % 480 + 16)
+        assert st["us_per_frame"] == 33333 + (did % 5) * 8333
+        assert (st["n_streams"], st["n_video"], st["n_audio"]) == (
+            1 + did % 2, 1, did % 2)
+        assert st["fps"] == 1000000.0 / st["us_per_frame"]
+    assert _parse_avi_meta(make_wav_bytes(5, 30, 1, 8000)) is None
+    good = make_avi_bytes(3)
+    for ln in range(len(good)):
+        r = _parse_avi_meta(good[:ln])
+        assert r is None or isinstance(r, dict)
+    rng = random.Random(17)
+    for _ in range(300):
+        f = bytearray(good)
+        f[rng.randrange(len(f))] ^= 1 << rng.randrange(8)
+        r = _parse_avi_meta(bytes(f))
+        assert r is None or isinstance(r, dict)
+    # depth bomb: LISTs nested past the cap are rejected, not recursed
+    bomb = b"AVI "
+    for _ in range(10):
+        bomb = b"LIST" + (len(bomb) + 4).to_bytes(4, "little") + b"hdrl" + bomb
+    bomb = b"RIFF" + len(bomb).to_bytes(4, "little") + bomb
+    assert _parse_avi_meta(bomb) is None

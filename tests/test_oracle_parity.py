@@ -122,6 +122,7 @@ FLAGSHIPS = {
     "j3_same_host_cap",
     "mm_jpeg_pixels",
     "mm_wav_stats",
+    "mm_avi_meta",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
