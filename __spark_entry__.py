@@ -76,7 +76,6 @@ _QUERY_NAMES = [
     "a9_symbol_neighbors",
     "tq_fingerprint",
     # training-data pipeline ops
-    "dd_exact_dups",
     "dd_embedding_neardup",
     "dd_minhash_lsh",
     "dd_ngram_jaccard",
@@ -105,6 +104,9 @@ _QUERY_NAMES = [
     # image/audio/video triad at container level); x_scalar_suite
     # (green r6+r7) parks
     "mm_avi_meta",
+    # NEW late-r8: REAL perceptual-hash image near-dup (aHash over
+    # decoded BMP planes); dd_exact_dups (green r6+r7) parks
+    "dd_image_phash",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -137,6 +139,7 @@ _QUERY_NAMES = [
     "a10_file_metadata",
     "tq_token_stats",
     "x_scalar_suite",
+    "dd_exact_dups",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

@@ -20,7 +20,10 @@ oracle-verified via mm_jpeg_pixels; progressive/arithmetic/12-bit
 streams fall to the stub — see COVERAGE.md multimodal row). Resizing,
 perceptual hashing, and video frame sampling still need the absent
 codec/media libraries; those fall back to a deterministic md5-derived
-STUB and ``phash`` is a content hash stand-in, documented as such. Swap
+STUB; the metadata path's ``phash`` column is a content-hash stand-in,
+while ``decode_image_ahash`` computes a REAL 64-bit perceptual average
+hash from decoded planes (24-bit BMP today, oracle-verified via
+dd_image_phash) with the md5 stand-in only as its flagged fallback. Swap
 the fallback for PIL/ffmpeg on a real cluster without touching the plan.
 """
 
@@ -134,6 +137,62 @@ def _parse_bmp_pixels(p: bytes):
     )
     sb, sg, sr = (int(s) for s in a.sum(axis=0))  # BMP stores B,G,R
     return {"n_px": w * rows, "sum_r": sr, "sum_g": sg, "sum_b": sb}
+
+
+def _parse_bmp_plane(p: bytes):
+    """Like _parse_bmp_pixels but returns the (h, w, 3) uint8 RGB plane
+    in IMAGE orientation (BMP rows are stored bottom-up; negative height
+    means top-down) — the input for position-dependent features like the
+    REAL average-hash. None for anything but uncompressed 24-bit BMP."""
+    if p[:2] != b"BM" or len(p) < 54:
+        return None
+    off = int.from_bytes(p[10:14], "little")
+    hsz = int.from_bytes(p[14:18], "little")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    bitcount = int.from_bytes(p[28:30], "little")
+    comp = int.from_bytes(p[30:34], "little")
+    if hsz < 40 or bitcount != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(p) < off + rows * stride:
+        return None
+    import numpy as np
+
+    a = (
+        np.frombuffer(p, dtype=np.uint8, count=rows * stride, offset=off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(rows, w, 3)[:, :, ::-1]  # BGR → RGB
+    )
+    if h > 0:
+        a = a[::-1]  # bottom-up storage → image orientation
+    return a
+
+
+def ahash64(plane) -> tuple:
+    """REAL 64-bit average hash (aHash) over an RGB image plane: integer
+    luminance (299r + 587g + 114b — scaled by 1000 so everything stays
+    exact), nearest-neighbor resample to 8x8 (src index (k·dim)//8),
+    mean-threshold bits (strict: lum·64 > total), bit k = row-major
+    i·8 + j. Returns (hi, lo) as two 32-bit ints so the value fits
+    signed 64-bit columns in any engine without sign games."""
+    import numpy as np
+
+    hh, ww = plane.shape[0], plane.shape[1]
+    lum = (plane.astype(np.int64) * np.array([299, 587, 114])).sum(axis=2)
+    ys = (np.arange(8) * hh) // 8
+    xs = (np.arange(8) * ww) // 8
+    grid = lum[ys][:, xs]
+    total = int(grid.sum())
+    bits = (grid.reshape(-1) * 64 > total)
+    lo = hi = 0
+    for k in range(32):
+        if bits[k]:
+            lo |= 1 << k
+        if bits[k + 32]:
+            hi |= 1 << k
+    return hi, lo
 
 
 def _paeth_predictor(a: int, b: int, c: int) -> int:
@@ -1282,6 +1341,49 @@ def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
             yield out
 
     return df.select(key_col, binary_col).mapInPandas(run, PIXEL_SCHEMA)
+
+
+AHASH_SCHEMA = "url string, is_real boolean, ahash_hi long, ahash_lo long"
+
+
+def decode_image_ahash(df: DataFrame, binary_col: str = "payload",
+                       key_col: str = "url") -> DataFrame:
+    """df(key, binary) → REAL perceptual average-hash for decodable
+    images (24-bit BMP planes today; the PNG/GIF/JPEG decoders could
+    feed the same ahash64 once their plane — not just sums — is
+    surfaced), via the same Arrow-batched mapInPandas shape as the other
+    decoders. Non-decodable payloads fall back to the md5-derived
+    stand-in with ``is_real = false`` — the same honest flagging the
+    module docstring documents for the metadata path. Equal hashes ≡
+    perceptually-identical 8x8 luminance structure, which makes
+    groupBy(ahash) a REAL image near-dup operator (dd_image_phash)."""
+    import hashlib
+
+    from gossiphs_spark.operators import multimodal as _self
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for payload in pdf[binary_col]:
+                plane = None
+                if payload is not None and len(payload) > 0:
+                    plane = _self._parse_bmp_plane(bytes(payload))
+                if plane is not None:
+                    hi, lo = _self.ahash64(plane)
+                    out_rows.append({"is_real": True, "ahash_hi": hi,
+                                     "ahash_lo": lo})
+                else:
+                    d = hashlib.md5(bytes(payload or b"")).digest()
+                    out_rows.append({
+                        "is_real": False,
+                        "ahash_hi": int.from_bytes(d[0:4], "big"),
+                        "ahash_lo": int.from_bytes(d[4:8], "big"),
+                    })
+            out = pd.DataFrame(out_rows)
+            out.insert(0, "url", list(pdf[key_col]))
+            yield out
+
+    return df.select(key_col, binary_col).mapInPandas(run, AHASH_SCHEMA)
 
 
 def decode_binary_column(df: DataFrame, binary_col: str = "payload",

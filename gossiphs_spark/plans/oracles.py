@@ -1683,6 +1683,51 @@ SELECT 'doc://' || CAST(agg.did AS VARCHAR) AS url,
 FROM agg JOIN zc ON agg.did = zc.did
 """
 
+# dd_image_phash: the kernel decodes real BMP planes and computes the
+# 64-bit average hash (integer luminance 299r+587g+114b, nearest 8x8
+# resample at (k·dim)//8, strict mean threshold lum·64 > total, bit
+# k = i·8+j split into two 32-bit halves); the oracle recomputes each
+# content group's hash from the pixel formulas with identical integer
+# arithmetic, then groups counts by hash exactly as the query does.
+ORACLES["dd_image_phash"] = """
+WITH grp AS (
+  SELECT CAST(doc_id % 64 AS BIGINT) AS g, COUNT(*) AS n
+  FROM documents GROUP BY 1
+),
+dims AS (
+  SELECT g, n, g % 12 + 3 AS w, g % 9 + 3 AS h FROM grp
+),
+cell AS (
+  SELECT g, n, w, h,
+         CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+         ((j.j * w) // 8) AS x, ((i.i * h) // 8) AS y
+  FROM dims,
+       LATERAL (SELECT unnest(range(8)) AS i) i,
+       LATERAL (SELECT unnest(range(8)) AS j) j
+),
+lum AS (
+  SELECT g, n, i, j,
+         299 * ((g * 5 + x * 7 + y * 13) % 256)
+         + 587 * ((g * 3 + x * 2 + y * 5) % 256)
+         + 114 * ((g + x * 11 + y * 3) % 256) AS l
+  FROM cell
+),
+tot AS (SELECT g, SUM(l) AS s FROM lum GROUP BY g),
+hashes AS (
+  SELECT lum.g, MAX(lum.n) AS n,
+         CAST(SUM(CASE WHEN l * 64 > s AND i * 8 + j >= 32
+              THEN CAST(1 AS BIGINT) << CAST(i * 8 + j - 32 AS INTEGER)
+              ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN l * 64 > s AND i * 8 + j < 32
+              THEN CAST(1 AS BIGINT) << CAST(i * 8 + j AS INTEGER)
+              ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM lum JOIN tot ON lum.g = tot.g
+  GROUP BY lum.g
+)
+SELECT ahash_hi, ahash_lo, CAST(SUM(n) AS BIGINT) AS n_images
+FROM hashes GROUP BY ahash_hi, ahash_lo
+"""
+
 # mm_avi_meta: the AVI decoder walks the nested word-aligned RIFF LIST
 # tree to avih/strh; the oracle recomputes the header fields from the
 # same doc_id arithmetic the builder serialized.

@@ -1751,6 +1751,76 @@ def mm_avi_meta(spark, sf_dir):
     )
 
 
+def make_bmp_bytes(g: int, w: int, h: int) -> bytes:
+    """Deterministic uncompressed 24-bit BMP (bottom-up, padded rows)
+    whose pixels depend only on the content key ``g`` — documents
+    sharing g are pixel-identical, which is what dd_image_phash groups.
+    Formulas: r=(g·5+x·7+y·13)%256, g=(g·3+x·2+y·5)%256,
+    b=(g+x·11+y·3)%256 with (x, y) in IMAGE orientation."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = b"".join(
+            bytes((
+                (g + x * 11 + y * 3) % 256,      # B
+                (g * 3 + x * 2 + y * 5) % 256,   # G
+                (g * 5 + x * 7 + y * 13) % 256,  # R
+            ))
+            for x in range(w)
+        )
+        rows += row + b"\x00" * (stride - w * 3)
+    header = (
+        b"BM" + struct.pack("<I", 54 + h * stride) + b"\x00" * 4
+        + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<i", w) + struct.pack("<i", h)
+        + struct.pack("<H", 1) + struct.pack("<H", 24)
+        + struct.pack("<I", 0) + b"\x00" * 20
+    )
+    return header + rows
+
+
+def dd_image_phash(spark, sf_dir):
+    """IMAGE near-dup via a REAL perceptual hash, oracle-verified:
+    documents map to 64 content groups (g = doc_id % 64) of
+    pixel-identical BMPs, the mapInPandas kernel computes the real
+    64-bit average hash from the decoded plane
+    (multimodal.decode_image_ahash — integer luminance, nearest 8x8
+    resample, mean-threshold bits), and a groupBy over (ahash_hi,
+    ahash_lo) counts perceptual duplicates. The oracle recomputes each
+    group's hash from the pixel formulas with the same integer
+    arithmetic — a bug in the plane orientation (BMP bottom-up flip),
+    resample index map, luminance weights, threshold strictness, or bit
+    packing flips the hash values and therefore the groups."""
+    from gossiphs_spark.operators.multimodal import decode_image_ahash
+
+    @F.pandas_udf("binary")
+    def mk_bmp(g_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_bmp_bytes(int(g), int(w), int(h))
+            for g, w, h in zip(g_s, w_s, h_s)
+        ])
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 64).cast("long").alias("g"),
+        F.col("doc_id").cast("long").alias("did"),
+    ).select(
+        "g", "did",
+        (F.col("g") % 12 + 3).cast("long").alias("w"),
+        (F.col("g") % 9 + 3).cast("long").alias("h"),
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        mk_bmp("g", "w", "h").alias("payload"),
+    )
+    return (
+        decode_image_ahash(payloads)
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs

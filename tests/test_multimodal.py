@@ -1093,3 +1093,51 @@ def test_avi_meta_golden_and_rejects():
         bomb = b"LIST" + (len(bomb) + 4).to_bytes(4, "little") + b"hdrl" + bomb
     bomb = b"RIFF" + len(bomb).to_bytes(4, "little") + bomb
     assert _parse_avi_meta(bomb) is None
+
+
+# ---------------------------------------------------------------------------
+# aHash — REAL perceptual average-hash over decoded BMP planes
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_plane_orientation_and_bits():
+    """An asymmetric image pins the BMP bottom-up flip: the hash must be
+    computed in IMAGE orientation, so flipping the image vertically MUST
+    change the hash (and a hand-built 8x8 black/white half image must
+    yield exactly the bright half's bits)."""
+    import numpy as np
+
+    from gossiphs_spark.operators.multimodal import (
+        _parse_bmp_plane, ahash64)
+    from gossiphs_spark.plans.queries import make_bmp_bytes
+
+    plane = _parse_bmp_plane(make_bmp_bytes(5, 9, 7))
+    assert plane is not None and plane.shape == (7, 9, 3)
+    # image orientation: pixel (x=0, y=0) must be the FORMULA's (0,0)
+    assert tuple(plane[0, 0]) == ((5 * 5) % 256, (5 * 3) % 256, 5 % 256)
+    flipped = plane[::-1]
+    assert ahash64(plane) != ahash64(flipped)
+    # top half black, bottom half white → bits 32..63 set exactly
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[4:] = 255
+    hi, lo = ahash64(half)
+    assert (hi, lo) == (0xFFFFFFFF, 0)
+
+
+def test_ahash_groups_identical_content():
+    """Same content key → same hash regardless of which doc carries it;
+    different keys almost always differ (the fixture's 64 groups map to
+    tens of distinct hashes — pinned exactly by the dd_image_phash
+    oracle; here just sanity)."""
+    from gossiphs_spark.operators.multimodal import (
+        _parse_bmp_plane, ahash64)
+    from gossiphs_spark.plans.queries import make_bmp_bytes
+
+    h1 = ahash64(_parse_bmp_plane(make_bmp_bytes(7, 10, 5)))
+    h2 = ahash64(_parse_bmp_plane(make_bmp_bytes(7, 10, 5)))
+    h3 = ahash64(_parse_bmp_plane(make_bmp_bytes(8, 11, 5)))
+    assert h1 == h2
+    assert h1 != h3
+    # halves fit signed-64 columns
+    for v in (*h1, *h3):
+        assert 0 <= v <= 0xFFFFFFFF

@@ -123,6 +123,7 @@ FLAGSHIPS = {
     "mm_jpeg_pixels",
     "mm_wav_stats",
     "mm_avi_meta",
+    "dd_image_phash",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
