@@ -61,7 +61,6 @@ _QUERY_NAMES = [
     "eval_cutoff_search",
     "a10_metadata_arrays",
     "a13_score_buckets",
-    "o8_hub_damped_counts",
     "w4_related_filtered",
     # NEW r8: same-host fallback cap binding (r7 ADVICE)
     "j3_same_host_cap",
@@ -107,6 +106,9 @@ _QUERY_NAMES = [
     # NEW late-r8: REAL perceptual-hash image near-dup (aHash over
     # decoded BMP planes); dd_exact_dups (green r6+r7) parks
     "dd_image_phash",
+    # NEW late-r8: PROGRESSIVE JPEG multi-scan decode;
+    # o8_hub_damped_counts (green r6+r7) parks
+    "mm_jpeg_progressive",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -140,6 +142,7 @@ _QUERY_NAMES = [
     "tq_token_stats",
     "x_scalar_suite",
     "dd_exact_dups",
+    "o8_hub_damped_counts",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

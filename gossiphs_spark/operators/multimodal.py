@@ -14,10 +14,11 @@ mm_pixel_stats), for 8-bit PNG — gray/RGB/palette/alpha, sequential or
 Adam7-interlaced — via stdlib zlib inflate + vectorized unfilter
 (``_parse_png_pixels``, oracle-verified via mm_png_pixels), for GIF
 via a pure-Python LZW decoder (``_parse_gif_pixels``, oracle-verified
-via mm_gif_pixels), and for baseline sequential JPEG via a pure
-numpy/Python Huffman + vectorized-IDCT decoder (``_parse_jpeg_pixels``,
-oracle-verified via mm_jpeg_pixels; progressive/arithmetic/12-bit
-streams fall to the stub — see COVERAGE.md multimodal row). Resizing,
+via mm_gif_pixels), and for Huffman-coded JPEG — baseline
+sequential AND progressive — via a pure numpy/Python Huffman +
+vectorized-IDCT decoder (``_parse_jpeg_pixels``, oracle-verified via
+mm_jpeg_pixels / mm_jpeg_progressive; arithmetic/12-bit streams fall to
+the stub — see COVERAGE.md multimodal row). Resizing,
 perceptual hashing, and video frame sampling still need the absent
 codec/media libraries; those fall back to a deterministic md5-derived
 STUB; the metadata path's ``phash`` column is a content-hash stand-in,
@@ -793,10 +794,21 @@ def _jpeg_decode_scan(data, pos, w, h, scan, qtabs, htabs, ri):
                             return None
                         row[k] = v
                         k += 1
+    return _jpeg_finalize(w, h, scan, qtabs, hmax, vmax)
+
+
+def _jpeg_finalize(w, h, comps, qtabs, hmax, vmax):
+    """Dequantize, batch-IDCT, assemble/crop/upsample planes and convert
+    — shared by the sequential path and the progressive multi-scan path
+    (which calls it once after the last scan)."""
+    import numpy as np
+
     m = _jpeg_idct_basis()
     zig = np.asarray(_ZIGZAG, dtype=np.int64)
     planes = []
-    for c in scan:
+    for c in comps:
+        if c["tq"] not in qtabs:
+            return None  # progressive streams may defer DQT; must exist now
         deq = c["coef"] * qtabs[c["tq"]][None, :]  # both in zigzag order
         spat = np.zeros(deq.shape, dtype=np.float64)
         spat[:, zig] = deq  # de-zigzag + int→float in one write
@@ -834,18 +846,219 @@ def _jpeg_decode_scan(data, pos, w, h, scan, qtabs, htabs, ri):
             "sum_b": int(b.astype(np.int64).sum())}
 
 
+def _jpeg_entropy_end(p: bytes, pos: int):
+    """Index of the first REAL marker (not a stuffed 0xFF00, not an RST,
+    not fill bytes) at/after ``pos`` — how the progressive multi-scan
+    walk resumes after a scan's entropy data. None if the stream ends
+    first."""
+    n = len(p)
+    i = pos
+    while i + 1 < n:
+        if p[i] != 0xFF:
+            i += 1
+        elif p[i + 1] == 0x00:
+            i += 2
+        elif 0xD0 <= p[i + 1] <= 0xD7:
+            i += 2
+        elif p[i + 1] == 0xFF:
+            i += 1
+        else:
+            return i
+    return None
+
+
+def _jpeg_scan_progressive(p, pos, scan, params, htabs, ri,
+                           mcux, mcuy):
+    """Decode ONE progressive scan (T.81 G.2) into the components'
+    persistent coefficient arrays. ``scan`` lists the participating
+    components (already carrying full-grid coef storage and, for
+    single-component scans, their non-interleaved grid nbx_ni/nby_ni);
+    ``params`` = (Ss, Se, Ah, Al). Handles DC first (diff << Al) and DC
+    refinement (one raw bit per block), AC first with EOBRUN, and AC
+    refinement with interleaved correction bits — the libjpeg
+    decode_mcu_AC_refine bit order. Returns True or None."""
+    ss, se, ah, al = params
+    rd = _JpegBitReader(p, pos, _JPEG_SCAN_BUDGET)
+    interleaved = len(scan) > 1
+    if ss == 0:
+        if se != 0 or (ah and ah != al + 1) or al > 13:
+            return None  # DC scan shape (G.1.1.1.1)
+        dctabs = {}
+        for c in scan:
+            if ah == 0:
+                tab = htabs.get((0, c["td"]))
+                if tab is None:
+                    return None
+                dctabs[c["id"]] = tab
+            c["pred"] = 0
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            units = scan[0]["nbx_ni"] * scan[0]["nby_ni"]
+        rst_expect = 0
+        for mi in range(units):
+            if ri and mi and mi % ri == 0:
+                mk = rd.align_and_take_marker()
+                if mk is None or mk != 0xD0 + rst_expect:
+                    return None
+                rst_expect = (rst_expect + 1) % 8
+                for c in scan:
+                    c["pred"] = 0
+            for c in scan:
+                if interleaved:
+                    my, mx = divmod(mi, mcux)
+                    blocks = [
+                        (my * c["v"] + bi) * c["nbx"] + mx * c["h"] + bj
+                        for bi in range(c["v"]) for bj in range(c["h"])]
+                else:
+                    by, bx = divmod(mi, c["nbx_ni"])
+                    blocks = [by * c["nbx"] + bx]
+                for idx in blocks:
+                    row = c["coef"][idx]
+                    if ah == 0:
+                        t = rd.huff(dctabs[c["id"]])
+                        if t is None or t > 11:
+                            return None
+                        diff = rd.receive_extend(t)
+                        if diff is None:
+                            return None
+                        c["pred"] += diff
+                        row[0] = c["pred"] << al
+                    else:
+                        bit = rd.read_bits(1)
+                        if bit is None:
+                            return None
+                        if bit:
+                            row[0] = int(row[0]) | (1 << al)
+        return True
+    # AC scan: always single-component (G.1.1.1.1)
+    if interleaved or ss > se or se > 63 or (ah and ah != al + 1) or al > 13:
+        return None
+    c = scan[0]
+    actab = htabs.get((1, c["ta"]))
+    if actab is None:
+        return None
+    p1 = 1 << al
+    m1 = -1 << al
+    eobrun = 0
+    rst_expect = 0
+    units = c["nbx_ni"] * c["nby_ni"]
+    for mi in range(units):
+        if ri and mi and mi % ri == 0:
+            mk = rd.align_and_take_marker()
+            if mk is None or mk != 0xD0 + rst_expect:
+                return None
+            rst_expect = (rst_expect + 1) % 8
+            eobrun = 0
+        by, bx = divmod(mi, c["nbx_ni"])
+        row = c["coef"][by * c["nbx"] + bx]
+        if ah == 0:  # AC first pass (G.2.2: EOBRUN bands)
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.huff(actab)
+                if rs is None:
+                    return None
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        b = rd.read_bits(r)
+                        if b is None:
+                            return None
+                        eobrun += b
+                    break
+                if s > 10:
+                    return None
+                k += r
+                if k > se:
+                    return None
+                v = rd.receive_extend(s)
+                if v is None:
+                    return None
+                row[k] = v << al
+                k += 1
+        else:  # AC refinement (libjpeg decode_mcu_AC_refine bit order)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.huff(actab)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                b = rd.read_bits(r)
+                                if b is None:
+                                    return None
+                                eobrun += b
+                            break
+                        # ZRL: r stays 15 → skip 16 zero-history coeffs
+                    elif s == 1:
+                        bit = rd.read_bits(1)
+                        if bit is None:
+                            return None
+                        newval = p1 if bit else m1
+                    else:
+                        return None  # refinement size must be 1
+                    while k <= se:
+                        cur = int(row[k])
+                        if cur != 0:
+                            bit = rd.read_bits(1)
+                            if bit is None:
+                                return None
+                            if bit and (cur & p1) == 0:
+                                row[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            return None
+                        row[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # correction bits for the rest of the band, then count
+                # this block against the run
+                while k <= se:
+                    cur = int(row[k])
+                    if cur != 0:
+                        bit = rd.read_bits(1)
+                        if bit is None:
+                            return None
+                        if bit and (cur & p1) == 0:
+                            row[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return True
+
+
 def _parse_jpeg_pixels(p: bytes):
-    """REAL pixel decode for baseline sequential JPEG (SOF0/SOF1, Huffman
-    entropy coding) using ONLY numpy + pure Python — no codec library:
-    walk the marker stream (DQT/DHT/SOF/DRI/SOS, APPn and COM skipped),
-    Huffman-decode the interleaved MCU scan with byte-unstuffing and
-    restart-marker handling, dequantize, inverse-DCT every block through
-    one vectorized einsum per component, upsample chroma by sample
-    replication and convert JFIF YCbCr→RGB. Grayscale (1 component) and
-    3-component scans with sampling factors in {1,2} (4:4:4, 4:2:0,
-    4:2:2, 4:4:0) are supported. Returns None — falling through to the
-    documented stub — for progressive (SOF2), arithmetic-coded,
-    hierarchical, 12/16-bit, 4-component (CMYK) or corrupt streams.
+    """REAL pixel decode for Huffman-coded JPEG — baseline/extended
+    sequential (SOF0/SOF1) AND progressive (SOF2) — using ONLY numpy +
+    pure Python, no codec library: walk the marker stream (DQT/DHT/SOF/
+    DRI/SOS, APPn and COM skipped), Huffman-decode the scan(s) with
+    byte-unstuffing and restart-marker handling, dequantize, inverse-DCT
+    every block through one vectorized matmul per component, upsample
+    chroma by sample replication and convert JFIF YCbCr→RGB. Progressive
+    streams accumulate coefficient state across scans (DC first/refine
+    successive approximation, AC first with EOBRUN, AC refinement with
+    interleaved correction bits — _jpeg_scan_progressive) and finalize
+    once at EOI. Grayscale (1 component) and 3-component images with
+    sampling factors in {1,2} (4:4:4, 4:2:0, 4:2:2, 4:4:0) are
+    supported. Returns None — falling through to the documented stub —
+    for arithmetic-coded, hierarchical, lossless, 12/16-bit,
+    4-component (CMYK) or corrupt streams.
 
     Untrusted-corpus bounds: declared dimensions are checked against
     ``_JPEG_PX_BUDGET`` BEFORE any entropy work, and the entropy-coded
@@ -862,6 +1075,9 @@ def _parse_jpeg_pixels(p: bytes):
     qtabs: dict = {}
     htabs: dict = {}
     sof = None
+    progressive = False
+    geom = None  # progressive coefficient state, allocated at first SOS
+    scans_done = 0
     ri = 0
     i = 2
     n = len(p)
@@ -876,7 +1092,11 @@ def _parse_jpeg_pixels(p: bytes):
             i += 2
             continue
         if m == 0xD9:
-            return None  # EOI before any scan
+            if progressive and scans_done:
+                w, h, comps = sof
+                hmax, vmax = geom
+                return _jpeg_finalize(w, h, comps, qtabs, hmax, vmax)
+            return None  # EOI before any decodable scan
         seglen = int.from_bytes(p[i + 2:i + 4], "big")
         if seglen < 2 or i + 2 + seglen > n:
             return None
@@ -908,9 +1128,10 @@ def _parse_jpeg_pixels(p: bytes):
                 j += 17 + cnt
             if j != len(seg):
                 return None
-        elif m in (0xC0, 0xC1):  # baseline / extended-sequential Huffman SOF
+        elif m in (0xC0, 0xC1, 0xC2):  # sequential or progressive Huffman SOF
             if sof is not None or len(seg) < 6 or seg[0] != 8:
                 return None
+            progressive = m == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nf = seg[5]
@@ -930,18 +1151,18 @@ def _parse_jpeg_pixels(p: bytes):
             if w <= 0 or h <= 0 or w * h > _JPEG_PX_BUDGET:
                 return None
             sof = (w, h, comps)
-        elif 0xC2 <= m <= 0xCF and m != 0xC4 and m != 0xC8 and m != 0xCC:
-            return None  # progressive / arithmetic / hierarchical / 12-bit
+        elif 0xC3 <= m <= 0xCF and m != 0xC4 and m != 0xC8 and m != 0xCC:
+            return None  # arithmetic / lossless / hierarchical / 12-bit
         elif m == 0xDD:  # DRI
             if len(seg) != 2:
                 return None
             ri = int.from_bytes(seg, "big")
-        elif m == 0xDA:  # SOS — single full scan only (baseline)
+        elif m == 0xDA:  # SOS
             if sof is None or len(seg) < 4:
                 return None
             w, h, comps = sof
             ns = seg[0]
-            if ns != len(comps) or len(seg) != 1 + 2 * ns + 3:
+            if ns < 1 or ns > len(comps) or len(seg) != 1 + 2 * ns + 3:
                 return None
             byid = {c["id"]: c for c in comps}
             scan = []
@@ -953,11 +1174,48 @@ def _parse_jpeg_pixels(p: bytes):
                 comp["td"], comp["ta"] = tt >> 4, tt & 15
                 scan.append(comp)
             ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-            if ss != 0 or se != 63 or a != 0:
-                return None  # spectral selection / successive approximation
-            return _jpeg_decode_scan(
-                p, i + 2 + seglen, w, h, scan, qtabs, htabs, ri)
+            if not progressive:
+                if ns != len(comps) or ss != 0 or se != 63 or a != 0:
+                    return None  # sequential = one full interleaved scan
+                return _jpeg_decode_scan(
+                    p, i + 2 + seglen, w, h, scan, qtabs, htabs, ri)
+            if geom is None:  # first scan: allocate coefficient state
+                import numpy as np
+
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    c["nbx"] = mcux * c["h"]
+                    c["nby"] = mcuy * c["v"]
+                    cw = -(-w * c["h"] // hmax)
+                    ch_ = -(-h * c["v"] // vmax)
+                    c["nbx_ni"] = -(-cw // 8)  # non-interleaved grid
+                    c["nby_ni"] = -(-ch_ // 8)
+                    c["coef"] = np.zeros(
+                        (c["nby"] * c["nbx"], 64), dtype=np.int32)
+                geom = (hmax, vmax)
+                geom_mcu = (mcux, mcuy)
+            if scans_done >= 64:
+                return None  # a valid stream needs far fewer scans
+            if _jpeg_scan_progressive(
+                    p, i + 2 + seglen, scan, (ss, se, a >> 4, a & 15),
+                    htabs, ri, geom_mcu[0], geom_mcu[1]) is None:
+                return None
+            scans_done += 1
+            nxt = _jpeg_entropy_end(p, i + 2 + seglen)
+            if nxt is None:
+                return None  # stream ends inside entropy data (no EOI)
+            i = nxt
+            continue
         i += 2 + seglen  # APPn / COM / unknown: skip by declared length
+    if progressive and scans_done:
+        # stream ended at/before EOI (the 2-byte EOI falls below the
+        # walk's 4-byte lookahead) — every scan already decoded
+        w, h, comps = sof
+        hmax, vmax = geom
+        return _jpeg_finalize(w, h, comps, qtabs, hmax, vmax)
     return None
 
 
@@ -1329,9 +1587,10 @@ def decode_pixel_stats(df: DataFrame, binary_col: str = "payload",
     batched mapInPandas shape as decode_binary_column. Real for 24-bit
     uncompressed BMP (numpy over the raw pixel array), 8-bit PNG
     incl. palette + Adam7 (stdlib zlib + vectorized unfilter), GIF
-    (pure-Python LZW), and baseline sequential JPEG (pure-Python Huffman
-    + vectorized numpy IDCT); progressive/arithmetic JPEG yields
-    n_px=0 / NULL mean (COVERAGE.md multimodal row)."""
+    (pure-Python LZW), and Huffman-coded JPEG — baseline sequential AND
+    progressive (pure-Python Huffman + vectorized numpy IDCT);
+    arithmetic-coded/12-bit JPEG yields n_px=0 / NULL mean (COVERAGE.md
+    multimodal row)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1728,6 +1728,13 @@ SELECT ahash_hi, ahash_lo, CAST(SUM(n) AS BIGINT) AS n_images
 FROM hashes GROUP BY ahash_hi, ahash_lo
 """
 
+# mm_jpeg_progressive: the SAME constant-per-block images and closed-form
+# arithmetic as mm_jpeg_pixels — the query encodes them as four
+# successive-approximation scans instead, so the hash pins the
+# progressive multi-scan machinery (DC first/refine Al shifts,
+# non-interleaved grids, EOBRUN spans) against the identical truth.
+ORACLES["mm_jpeg_progressive"] = ORACLES["mm_jpeg_pixels"]
+
 # mm_avi_meta: the AVI decoder walks the nested word-aligned RIFF LIST
 # tree to avih/strh; the oracle recomputes the header fields from the
 # same doc_id arithmetic the builder serialized.

@@ -1624,6 +1624,198 @@ def mm_jpeg_pixels(spark, sf_dir):
     )
 
 
+# Progressive-fixture AC tables: the EOBn family (r = 0..14, symbol
+# r<<4) so one EOBn covers a whole component's block grid — exercising
+# real EOBRUN counting in both the first and refinement passes.
+_JPEG_ACP_BITS0 = [0, 0, 0, 15] + [0] * 12  # EOB0..EOB14 at length 4
+_JPEG_ACP_BITS1 = [0, 0, 0, 0, 15] + [0] * 11  # same at length 5
+_JPEG_ACP_VALS = [r << 4 for r in range(15)]
+
+
+class _JpegBitWriter:
+    """MSB-first entropy bit writer with 0xFF00 stuffing and 1-bit
+    flush padding — shared by the progressive fixture's per-scan
+    segments."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | code
+        self.nbits += ln
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.buf)
+
+
+def make_jpeg_progressive_bytes(did: int, w: int, h: int) -> bytes:
+    """PROGRESSIVE (SOF2) twin of make_jpeg_bytes: the SAME
+    constant-per-block pixel formulas and sampling variants (grayscale /
+    4:4:4 / 4:2:0 / 4:2:2 by did % 4), spread over FOUR successive-
+    approximation scans — DC first at Al=1 (interleaved, diff-coded
+    shifted predictions), per-component AC first over band 1-63 at Al=1
+    (one EOBn covering the whole non-interleaved grid → real EOBRUN
+    counting), DC refinement (Ah=1: one raw bit per block), and
+    per-component AC refinement (EOBn again, zero correction bits since
+    every AC is zero). Constant blocks keep the round-trip EXACT, so the
+    mm_jpeg_progressive oracle is the same closed-form arithmetic as
+    mm_jpeg_pixels — what changes is the decoder machinery under test:
+    multi-scan state, successive approximation, non-interleaved grids,
+    EOBRUN."""
+    variant = did % 4
+    gray = variant == 0
+    hy, vy = {0: (1, 1), 1: (1, 1), 2: (2, 2), 3: (2, 1)}[variant]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + b"\x01" * 64
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS0) + bytes(range(12))
+           + bytes([0x10]) + bytes(_JPEG_ACP_BITS0) + bytes(_JPEG_ACP_VALS))
+    if not gray:
+        dqt += bytes([0x01]) + b"\x01" * 64
+        dht += (bytes([0x01]) + bytes(_JPEG_DC_BITS1) + bytes(range(12))
+                + bytes([0x11]) + bytes(_JPEG_ACP_BITS1)
+                + bytes(_JPEG_ACP_VALS))
+    out += seg(0xDB, dqt)
+    out += seg(0xC4, dht)
+    if gray:
+        nf, sofc = 1, bytes([1, 0x11, 0])
+    else:
+        nf = 3
+        sofc = bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([nf]) + sofc)
+
+    dc0 = jpeg_canonical_codes(_JPEG_DC_BITS0)
+    dc1 = jpeg_canonical_codes(_JPEG_DC_BITS1)
+    acp0 = jpeg_canonical_codes(_JPEG_ACP_BITS0)  # index r → EOBn code
+    acp1 = jpeg_canonical_codes(_JPEG_ACP_BITS1)
+    hmax, vmax = hy, vy
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comps = [0] if gray else [0, 1, 2]
+    chv = {0: (hy, vy), 1: (1, 1), 2: (1, 1)}
+
+    def dc_of(comp: int, bx: int, by: int) -> int:
+        if comp == 0:
+            v = (did * 3 + bx * 5 + by * 7) % 256
+        elif comp == 1:
+            v = (did * 7 + bx * 11 + by * 13) % 256
+        else:
+            v = (did * 5 + bx * 3 + by * 17) % 256
+        return 8 * (v - 128)
+
+    def sos(comp_ids, tsel, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, tsel[cid]])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    dc_tsel = {0: 0x00, 1: 0x10, 2: 0x10}
+    ac_tsel = {0: 0x00, 1: 0x11, 2: 0x11}
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _JpegBitWriter()
+        preds = {c: 0 for c in comps}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    hh, vv = chv[c]
+                    codes = dc0 if c == 0 else dc1
+                    for bi in range(vv):
+                        for bj in range(hh):
+                            dc = dc_of(c, mx * hh + bj, my * vv + bi)
+                            if ah == 0:  # first pass: diff-code dc >> al
+                                val = dc >> al
+                                diff = val - preds[c]
+                                preds[c] = val
+                                t = abs(diff).bit_length()
+                                code, ln = codes[t]
+                                bw.put(code, ln)
+                                if t:
+                                    bw.put(diff if diff >= 0
+                                           else diff + (1 << t) - 1, t)
+                            else:  # refinement: the Al bit, raw
+                                bw.put((dc >> al) & 1, 1)
+        return sos(comps, dc_tsel, 0, 0, ah, al) + bw.flush()
+
+    def ac_scans(ah: int, al: int) -> bytes:
+        data = b""
+        for c in comps:
+            hh, vv = chv[c]
+            cw = -(-w * hh // hmax)
+            ch_ = -(-h * vv // vmax)
+            units = (-(-cw // 8)) * (-(-ch_ // 8))
+            bw = _JpegBitWriter()
+            # one EOBn covering all `units` blocks: first pass consumes
+            # (1<<r)-1+ext additional blocks, refine consumes (1<<r)+ext
+            # including the current one — both equal `units` with
+            # r = floor(log2 units), ext = units - 2^r
+            r = units.bit_length() - 1
+            ext = units - (1 << r)
+            code, ln = (acp0 if c == 0 else acp1)[r]
+            bw.put(code, ln)
+            if r:
+                bw.put(ext, r)
+            data += sos([c], ac_tsel, 1, 63, ah, al) + bw.flush()
+        return data
+
+    out += dc_scan(0, 1)
+    out += ac_scans(0, 1)
+    out += dc_scan(1, 0)
+    out += ac_scans(1, 0)
+    return bytes(out) + b"\xff\xd9"
+
+
+def mm_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG pixel decode, oracle-verified: the same
+    constant-per-block images as mm_jpeg_pixels, but encoded as four
+    successive-approximation scans (DC first/refine, per-component AC
+    first/refine with real EOBRUN spans). The kernel's multi-scan walk
+    (multimodal._parse_jpeg_pixels with SOF2) accumulates coefficient
+    state across scans and finalizes once; the oracle pins the identical
+    closed-form sums — a bug in scan sequencing, the Al shifts, the
+    non-interleaved grid mapping, or EOBRUN accounting flips the hash."""
+    from gossiphs_spark.operators.multimodal import decode_pixel_stats
+
+    @F.pandas_udf("binary")
+    def mk_pjpeg(did_s: pd.Series, w_s: pd.Series,
+                 h_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_jpeg_progressive_bytes(int(did), int(w), int(h))
+            for did, w, h in zip(did_s, w_s, h_s)
+        ])
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did"),
+        (F.col("doc_id") % 21 + 4).cast("long").alias("w"),
+        (F.col("doc_id") % 13 + 4).cast("long").alias("h"),
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        mk_pjpeg("did", "w", "h").alias("payload"),
+    )
+    return decode_pixel_stats(payloads).select(
+        "url", "n_px", "sum_r", "sum_g", "sum_b",
+        F.round("mean_lum", 6).alias("mean_lum"),
+    )
+
+
 def make_wav_bytes(did: int, frames: int, channels: int, rate: int) -> bytes:
     """Deterministic forward-constructed PCM16 RIFF/WAVE for the
     mm_wav_stats round-trip: interleaved little-endian int16 samples

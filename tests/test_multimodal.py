@@ -1141,3 +1141,212 @@ def test_ahash_groups_identical_content():
     # halves fit signed-64 columns
     for v in (*h1, *h3):
         assert 0 <= v <= 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — successive approximation, EOBRUN, refinement
+# ---------------------------------------------------------------------------
+
+
+def _encode_prog_gray(w, h, blocks_zig, scans):
+    """Test-side GENERAL progressive encoder (grayscale): arbitrary
+    quantized coefficients (zigzag order) emitted over caller-chosen
+    (Ss, Se, Ah, Al) scans. Implements the standard bit order the
+    decoder must consume: DC first diff-codes value >> Al (arithmetic),
+    DC refine emits the Al bit raw; AC first run/size-codes
+    sign·(|v| >> Al) with per-block EOB0; AC refine emits new-coefficient
+    symbols with buffered correction bits for nonzero-history positions
+    (libjpeg encode_mcu_AC_refine order), ZRL when 16 zero-history
+    positions accumulate, and EOB0 + trailing correction bits."""
+    from gossiphs_spark.plans.queries import (
+        _JpegBitWriter, jpeg_canonical_codes)
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    ac_vals = [r << 4 for r in range(16)] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    dc_codes = jpeg_canonical_codes(dc_bits)
+    ac_codes = dict(zip(ac_vals, jpeg_canonical_codes(ac_bits)))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+               + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    for ss, se, ah, al in scans:
+        bw = _JpegBitWriter()
+        if ss == 0:
+            pred = 0
+            for blk in blocks_zig:
+                dc = blk[0]
+                if ah == 0:
+                    val = dc >> al
+                    diff = val - pred
+                    pred = val
+                    t = abs(diff).bit_length()
+                    code, ln = dc_codes[t]
+                    bw.put(code, ln)
+                    if t:
+                        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                else:
+                    bw.put((dc >> al) & 1, 1)
+        elif ah == 0:  # AC first: run/size over sign·(|v| >> Al), EOB0
+            for blk in blocks_zig:
+                run = 0
+                for k in range(ss, se + 1):
+                    v = blk[k]
+                    aval = abs(v) >> al
+                    if aval == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        bw.put(*ac_codes[0xF0])
+                        run -= 16
+                    s = aval.bit_length()
+                    bw.put(*ac_codes[(run << 4) | s])
+                    sv = aval if v >= 0 else -aval
+                    bw.put(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    bw.put(*ac_codes[0x00])  # EOB0
+        else:  # AC refinement: corrections buffered, EOB0 tail
+            p_bit = al  # the bit this pass transmits
+            for blk in blocks_zig:
+                run = 0
+                pend = []
+                for k in range(ss, se + 1):
+                    v = blk[k]
+                    hist = abs(v) >> (al + 1)
+                    aval = abs(v) >> al
+                    if hist != 0:  # nonzero history → correction bit
+                        pend.append(aval & 1)
+                    elif aval == 1:  # newly significant at this precision
+                        while run >= 16:
+                            bw.put(*ac_codes[0xF0])
+                            for b in pend:
+                                bw.put(b, 1)
+                            pend = []
+                            run -= 16
+                        bw.put(*ac_codes[(run << 4) | 1])
+                        bw.put(1 if v >= 0 else 0, 1)
+                        for b in pend:
+                            bw.put(b, 1)
+                        pend = []
+                        run = 0
+                    else:
+                        run += 1
+                        while run >= 16:
+                            bw.put(*ac_codes[0xF0])
+                            for b in pend:
+                                bw.put(b, 1)
+                            pend = []
+                            run -= 16
+                # EOB0 only if the decoder still has symbols to read:
+                # uncovered zero-history tail (run) or pending correction
+                # bits. A band fully covered by emitted symbols (e.g.
+                # trailing ZRLs consuming the exact remainder) must NOT
+                # get one — the decoder's band walk has already ended.
+                if run or pend:
+                    bw.put(*ac_codes[0x00])  # EOB0 covers this block
+                    for b in pend:
+                        bw.put(b, 1)
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += seg(0xDA, body) + bw.flush()
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_fixture_matches_sequential():
+    """The progressive fixture decodes to EXACTLY the same stats as the
+    sequential fixture for the same did — the two encoders share only
+    the pixel formulas, so agreement pins the whole multi-scan path."""
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+    from gossiphs_spark.plans.queries import (
+        make_jpeg_bytes, make_jpeg_progressive_bytes)
+
+    for did in (0, 1, 2, 3, 17, 38, 59, 120, 251):
+        w, h = did % 21 + 4, did % 13 + 4
+        seq = _parse_jpeg_pixels(make_jpeg_bytes(did, w, h))
+        prog = _parse_jpeg_pixels(make_jpeg_progressive_bytes(did, w, h))
+        assert seq is not None and seq == prog
+
+
+def test_jpeg_progressive_general_ac_roundtrip():
+    """Arbitrary AC coefficients through successive approximation —
+    first pass at Al=1, refinement to Al=0, spectral band split at
+    k=5 — decode to exactly the full-precision IDCT. This drives the
+    refinement correction-bit machinery (nonzero history, new
+    coefficients mid-run, ZRL-in-refine) the DC-only fixture cannot."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+
+    rng = random.Random(4321)
+    for trial in range(25):
+        w = rng.randrange(1, 25)
+        h = rng.randrange(1, 21)
+        nblocks = (-(-w // 8)) * (-(-h // 8))
+        blocks = []
+        for _ in range(nblocks):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-400, 401)
+            for _ in range(rng.randrange(0, 14)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-80, 81) or 3
+            blocks.append(blk)
+        scans = [
+            (0, 0, 0, 1),   # DC first, Al=1
+            (1, 5, 0, 1),   # AC low band first
+            (6, 63, 0, 1),  # AC high band first
+            (0, 0, 1, 0),   # DC refine
+            (1, 5, 1, 0),   # AC low band refine
+            (6, 63, 1, 0),  # AC high band refine
+        ]
+        p = _encode_prog_gray(w, h, blocks, scans)
+        assert _parse_jpeg_pixels(p) == _expected_gray_sums(w, h, blocks), \
+            f"trial {trial} w={w} h={h}"
+
+
+def test_jpeg_progressive_zrl_refine_and_sparse():
+    """Deterministic hard cases: a refinement ZRL (17+ zero-history gap
+    before a new coefficient), corrections interleaved across the gap,
+    and a block whose band is pure corrections (no new coefficients)."""
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+
+    blk1 = [0] * 64
+    blk1[0] = 100
+    blk1[2] = 6    # nonzero history through both passes
+    blk1[40] = 1   # appears only at full precision, 37 zeros before it
+    blk2 = [0] * 64
+    blk2[0] = -300
+    blk2[1] = -7   # history + correction bit 1
+    blk2[3] = -2   # history, correction bit 0
+    p = _encode_prog_gray(16, 8, [blk1, blk2],
+                          [(0, 0, 0, 1), (1, 63, 0, 1),
+                           (0, 0, 1, 0), (1, 63, 1, 0)])
+    assert _parse_jpeg_pixels(p) == _expected_gray_sums(16, 8, [blk1, blk2])
+
+
+def test_jpeg_progressive_rejects_and_fuzz():
+    """Progressive streams with invalid scan shapes fall to None, and
+    truncation/bit flips never raise."""
+    import random
+
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+    from gossiphs_spark.plans.queries import make_jpeg_progressive_bytes
+
+    good = make_jpeg_progressive_bytes(37, 37 % 21 + 4, 37 % 13 + 4)
+    assert _parse_jpeg_pixels(good) is not None
+    for ln in range(len(good)):
+        r = _parse_jpeg_pixels(good[:ln])
+        assert r is None or isinstance(r, dict)
+    rng = random.Random(31)
+    for _ in range(400):
+        f = bytearray(good)
+        f[rng.randrange(len(f))] ^= 1 << rng.randrange(8)
+        r = _parse_jpeg_pixels(bytes(f))
+        assert r is None or isinstance(r, dict)

@@ -124,6 +124,7 @@ FLAGSHIPS = {
     "mm_wav_stats",
     "mm_avi_meta",
     "dd_image_phash",
+    "mm_jpeg_progressive",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
