@@ -73,6 +73,22 @@ def _row_col(s: str, pos: int) -> tuple[int, int]:
     return row, col
 
 
+def _trim_to_span(raw: str, start: int, *stages):
+    """Apply ``str.strip`` stages in order (None = whitespace) and return
+    (trimmed, a, b) with offsets adjusted to the KEPT region — the
+    package-wide offset-identity contract: every emitted (start, end)
+    must slice the name out of the source byte-exactly (pinned by the
+    tests' offsets-anchor asserts; the text/csv/yaml profiles already
+    adjusted, the title/link sites historically did not — found by the
+    all-profiles fuzz on a '<title>a\\r\\n</title>' page)."""
+    t = raw
+    a = start
+    for chars in stages:
+        a += len(t) - len(t.lstrip(chars))
+        t = t.strip(chars)
+    return t, a, a + len(t)
+
+
 def extract_page(url: str, html: bytes) -> list[tuple]:
     """One page → mention rows. Pure; reused by the golden tests."""
     try:
@@ -93,19 +109,20 @@ def extract_page(url: str, html: bytes) -> list[tuple]:
     title_span = None
     tm = _TITLE_RE.search(s)
     if tm:
-        name = tm.group(1).strip()
+        name, a, b = _trim_to_span(tm.group(1), tm.start(1), None)
         if name:
-            title_span = tm.span(1)
-            r0, c0 = _row_col(s, tm.start(1))
-            r1, c1 = _row_col(s, tm.end(1))
-            out.append((url, name, "DEF", tm.start(1), tm.end(1), r0, c0, r1, c1))
+            title_span = tm.span(1)  # coverage region stays the raw span
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, name, "DEF", a, b, r0, c0, r1, c1))
 
     for hm in _HREF_RE.finditer(s):
-        link = hm.group(2).strip("\"'<>")  # F12 quote/bracket trim
+        # F12 quote/bracket trim, offsets tracking the kept region
+        link, a, b = _trim_to_span(hm.group(2), hm.start(2), "\"'<>")
         if link:
-            r0, c0 = _row_col(s, hm.start(2))
-            r1, c1 = _row_col(s, hm.end(2))
-            out.append((url, link, "IMPORT", hm.start(2), hm.end(2), r0, c0, r1, c1))
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, link, "IMPORT", a, b, r0, c0, r1, c1))
 
     head_span = None
     hm2 = _HEAD_RE.search(s)
@@ -177,12 +194,12 @@ def extract_page_md(url: str, blob: bytes) -> list[tuple]:
     for hm in _MD_HEAD_RE.finditer(s):
         if any(hm.start() < y and hm.end() > x for (x, y) in blocked):
             continue
-        name = hm.group(1).strip()
+        name, a, b = _trim_to_span(hm.group(1), hm.start(1), None)
         if name:
             title_span = hm.span(1)
-            r0, c0 = _row_col(s, hm.start(1))
-            r1, c1 = _row_col(s, hm.end(1))
-            out.append((url, name, "DEF", hm.start(1), hm.end(1), r0, c0, r1, c1))
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, name, "DEF", a, b, r0, c0, r1, c1))
         break  # first heading is the page entity (title analog)
 
     link_spans: list[tuple[int, int]] = []
@@ -190,11 +207,12 @@ def extract_page_md(url: str, blob: bytes) -> list[tuple]:
         if any(lm.start() < y and lm.end() > x for (x, y) in blocked):
             continue
         link_spans.append(lm.span())
-        target = lm.group(2).strip().strip("\"'<>")  # F12 trim
+        # F12 trim, offsets tracking the kept region
+        target, a, b = _trim_to_span(lm.group(2), lm.start(2), None, "\"'<>")
         if target:
-            r0, c0 = _row_col(s, lm.start(2))
-            r1, c1 = _row_col(s, lm.end(2))
-            out.append((url, target, "IMPORT", lm.start(2), lm.end(2), r0, c0, r1, c1))
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, target, "IMPORT", a, b, r0, c0, r1, c1))
 
     def covered(a: int, b: int) -> bool:
         if title_span and a >= title_span[0] and b <= title_span[1]:
@@ -311,11 +329,11 @@ def extract_page_json(url: str, blob: bytes) -> list[tuple]:
         key, val = pm.group(1), pm.group(2)
         a, b = pm.span(2)
         if def_span is None and key in _JSON_DEF_KEYS and val.strip():
-            name = val.strip()
-            def_span = (a, b)
-            r0, c0 = _row_col(s, a)
-            r1, c1 = _row_col(s, b)
-            out.append((url, name, "DEF", a, b, r0, c0, r1, c1))
+            name, a2, b2 = _trim_to_span(val, a, None)
+            def_span = (a, b)  # coverage region stays the raw span
+            r0, c0 = _row_col(s, a2)
+            r1, c1 = _row_col(s, b2)
+            out.append((url, name, "DEF", a2, b2, r0, c0, r1, c1))
         elif val.startswith(("http://", "https://")):
             target = val.rstrip(".,;:")  # F12 trailing-punct trim
             covered_spans.append((a, b))
@@ -372,28 +390,29 @@ def extract_page_xml(url: str, blob: bytes) -> list[tuple]:
     title_span = None
     tm = _TITLE_RE.search(s)
     if tm:
-        name = tm.group(1).strip()
+        name, a, b = _trim_to_span(tm.group(1), tm.start(1), None)
         if name:
-            title_span = tm.span(1)
-            r0, c0 = _row_col(s, tm.start(1))
-            r1, c1 = _row_col(s, tm.end(1))
-            out.append((url, name, "DEF", tm.start(1), tm.end(1), r0, c0, r1, c1))
+            title_span = tm.span(1)  # coverage region stays the raw span
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, name, "DEF", a, b, r0, c0, r1, c1))
 
     link_spans: list[tuple[int, int]] = []
     for lm in _XML_LINK_RE.finditer(s):
-        target = lm.group(1).strip().strip("\"'<>")  # F12 trim
+        # F12 trim, offsets tracking the kept region
+        target, a, b = _trim_to_span(lm.group(1), lm.start(1), None, "\"'<>")
         if target:
             link_spans.append(lm.span(1))
-            r0, c0 = _row_col(s, lm.start(1))
-            r1, c1 = _row_col(s, lm.end(1))
-            out.append((url, target, "IMPORT", lm.start(1), lm.end(1), r0, c0, r1, c1))
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, target, "IMPORT", a, b, r0, c0, r1, c1))
     for hm in _XML_HREF_RE.finditer(s):
-        target = hm.group(2).strip().strip("\"'<>")
+        target, a, b = _trim_to_span(hm.group(2), hm.start(2), None, "\"'<>")
         if target:
             link_spans.append(hm.span(2))
-            r0, c0 = _row_col(s, hm.start(2))
-            r1, c1 = _row_col(s, hm.end(2))
-            out.append((url, target, "IMPORT", hm.start(2), hm.end(2), r0, c0, r1, c1))
+            r0, c0 = _row_col(s, a)
+            r1, c1 = _row_col(s, b)
+            out.append((url, target, "IMPORT", a, b, r0, c0, r1, c1))
 
     def covered(a: int, b: int) -> bool:
         if title_span and a >= title_span[0] and b <= title_span[1]:
