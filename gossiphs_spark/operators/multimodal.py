@@ -868,7 +868,7 @@ def _jpeg_entropy_end(p: bytes, pos: int):
 
 
 def _jpeg_scan_progressive(p, pos, scan, params, htabs, ri,
-                           mcux, mcuy):
+                           mcux, mcuy, budget):
     """Decode ONE progressive scan (T.81 G.2) into the components'
     persistent coefficient arrays. ``scan`` lists the participating
     components (already carrying full-grid coef storage and, for
@@ -876,9 +876,12 @@ def _jpeg_scan_progressive(p, pos, scan, params, htabs, ri,
     ``params`` = (Ss, Se, Ah, Al). Handles DC first (diff << Al) and DC
     refinement (one raw bit per block), AC first with EOBRUN, and AC
     refinement with interleaved correction bits — the libjpeg
-    decode_mcu_AC_refine bit order. Returns True or None."""
+    decode_mcu_AC_refine bit order. ``budget`` is the REMAINING
+    entropy-byte allowance shared across the image's scans (cumulative
+    — a many-scan stream cannot multiply the per-image CPU bound).
+    Returns the scan's consumed byte count, or None."""
     ss, se, ah, al = params
-    rd = _JpegBitReader(p, pos, _JPEG_SCAN_BUDGET)
+    rd = _JpegBitReader(p, pos, budget)
     interleaved = len(scan) > 1
     if ss == 0:
         if se != 0 or (ah and ah != al + 1) or al > 13:
@@ -930,7 +933,7 @@ def _jpeg_scan_progressive(p, pos, scan, params, htabs, ri,
                             return None
                         if bit:
                             row[0] = int(row[0]) | (1 << al)
-        return True
+        return rd.consumed
     # AC scan: always single-component (G.1.1.1.1)
     if interleaved or ss > se or se > 63 or (ah and ah != al + 1) or al > 13:
         return None
@@ -1040,7 +1043,7 @@ def _jpeg_scan_progressive(p, pos, scan, params, htabs, ri,
                             row[k] = cur + (p1 if cur >= 0 else m1)
                     k += 1
                 eobrun -= 1
-    return True
+    return rd.consumed
 
 
 def _parse_jpeg_pixels(p: bytes):
@@ -1078,6 +1081,7 @@ def _parse_jpeg_pixels(p: bytes):
     progressive = False
     geom = None  # progressive coefficient state, allocated at first SOS
     scans_done = 0
+    scan_budget = _JPEG_SCAN_BUDGET  # shared by ALL progressive scans
     ri = 0
     i = 2
     n = len(p)
@@ -1197,12 +1201,14 @@ def _parse_jpeg_pixels(p: bytes):
                         (c["nby"] * c["nbx"], 64), dtype=np.int32)
                 geom = (hmax, vmax)
                 geom_mcu = (mcux, mcuy)
-            if scans_done >= 64:
-                return None  # a valid stream needs far fewer scans
-            if _jpeg_scan_progressive(
-                    p, i + 2 + seglen, scan, (ss, se, a >> 4, a & 15),
-                    htabs, ri, geom_mcu[0], geom_mcu[1]) is None:
+            if scans_done >= 64 or scan_budget <= 0:
+                return None  # a valid stream needs far fewer scans/bytes
+            used = _jpeg_scan_progressive(
+                p, i + 2 + seglen, scan, (ss, se, a >> 4, a & 15),
+                htabs, ri, geom_mcu[0], geom_mcu[1], scan_budget)
+            if used is None:
                 return None
+            scan_budget -= used  # CUMULATIVE across scans (CPU bound)
             scans_done += 1
             nxt = _jpeg_entropy_end(p, i + 2 + seglen)
             if nxt is None:

@@ -1350,3 +1350,17 @@ def test_jpeg_progressive_rejects_and_fuzz():
         f[rng.randrange(len(f))] ^= 1 << rng.randrange(8)
         r = _parse_jpeg_pixels(bytes(f))
         assert r is None or isinstance(r, dict)
+
+
+def test_jpeg_progressive_scan_budget_is_cumulative(monkeypatch):
+    """The entropy-byte budget is shared across ALL progressive scans —
+    a many-scan stream cannot multiply the per-image CPU bound. With the
+    budget set just below the fixture's total scan bytes, decode must
+    degrade to None even though each individual scan fits."""
+    import gossiphs_spark.operators.multimodal as mmod
+    from gossiphs_spark.plans.queries import make_jpeg_progressive_bytes
+
+    good = make_jpeg_progressive_bytes(2, 24, 16)  # 4:2:0, several scans
+    assert mmod._parse_jpeg_pixels(good) is not None
+    monkeypatch.setattr(mmod, "_JPEG_SCAN_BUDGET", 8)
+    assert mmod._parse_jpeg_pixels(good) is None
