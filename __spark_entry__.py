@@ -53,7 +53,6 @@ _QUERY_NAMES = [
     "w8_topk_neighbors",
     "j7_trigram_fallback",
     "triples_extract",
-    "so1_snapshot_diff",
     "s5_dense_export",
     "s6_source_matrix",
     "kg_pagerank",
@@ -109,6 +108,10 @@ _QUERY_NAMES = [
     # NEW late-r8: PROGRESSIVE JPEG multi-scan decode;
     # o8_hub_damped_counts (green r6+r7) parks
     "mm_jpeg_progressive",
+    # NEW late-r8: REAL area-average image resize (exact integer box
+    # downsample over decoded planes); so1_snapshot_diff (green r6+r7)
+    # parks
+    "mm_resize_stats",
     # the COMPOSED scored pipeline (build_graph end-to-end) vs a DuckDB
     # CTE twin — the reference's api.rs:457-526 exact-score test,
     # engine-vs-engine
@@ -143,6 +146,7 @@ _QUERY_NAMES = [
     "x_scalar_suite",
     "dd_exact_dups",
     "o8_hub_damped_counts",
+    "so1_snapshot_diff",
     # rows-only stub surface (weakest check, permanently past the window)
     "mm_decode_stub",
 ]

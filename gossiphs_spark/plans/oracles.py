@@ -1735,6 +1735,43 @@ FROM hashes GROUP BY ahash_hi, ahash_lo
 # non-interleaved grids, EOBRUN spans) against the identical truth.
 ORACLES["mm_jpeg_progressive"] = ORACLES["mm_jpeg_pixels"]
 
+# mm_resize_stats: the kernel decodes BMP planes and area-average
+# downsamples by 2 in exact integer math (output pixel = 2x2 block sum
+# // 4); the oracle recomputes the resized channel sums from the same
+# block arithmetic over the builder's pixel formulas.
+ORACLES["mm_resize_stats"] = """
+WITH mp AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id % 10 + 8 AS BIGINT) AS w,
+         CAST(doc_id % 8 + 8 AS BIGINT) AS h
+  FROM documents
+),
+cell AS (
+  SELECT did, w, h,
+         CAST(oy.oy AS BIGINT) AS oy, CAST(ox.ox AS BIGINT) AS ox,
+         (ox.ox * 2 + dx.dx) AS x, (oy.oy * 2 + dy.dy) AS y
+  FROM mp,
+       LATERAL (SELECT unnest(range(h // 2)) AS oy) oy,
+       LATERAL (SELECT unnest(range(w // 2)) AS ox) ox,
+       LATERAL (SELECT unnest(range(2)) AS dy) dy,
+       LATERAL (SELECT unnest(range(2)) AS dx) dx
+),
+opx AS (
+  SELECT did, MAX(w) AS w, MAX(h) AS h,
+         SUM((did * 5 + x * 7 + y * 13) % 256) // 4 AS r,
+         SUM((did * 3 + x * 2 + y * 5) % 256) // 4 AS g,
+         SUM((did + x * 11 + y * 3) % 256) // 4 AS b
+  FROM cell GROUP BY did, oy, ox
+)
+SELECT 'doc://' || CAST(did AS VARCHAR) AS url,
+       CAST(MAX(w) // 2 AS BIGINT) AS out_w,
+       CAST(MAX(h) // 2 AS BIGINT) AS out_h,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM opx GROUP BY did
+"""
+
 # mm_avi_meta: the AVI decoder walks the nested word-aligned RIFF LIST
 # tree to avih/strh; the oracle recomputes the header fields from the
 # same doc_id arithmetic the builder serialized.

@@ -2013,6 +2013,36 @@ def dd_image_phash(spark, sf_dir):
     )
 
 
+def mm_resize_stats(spark, sf_dir):
+    """REAL image resize, oracle-verified: per-document BMPs (pixels
+    from doc_id arithmetic) are area-average downsampled by 2 in exact
+    integer math (multimodal.downsample_plane — each output pixel is
+    block_sum // 4 over its 2x2 block of the decoded plane), and the
+    oracle recomputes the resized channel sums from the same block
+    arithmetic. A bug in the plane decode, crop-to-multiples, block
+    reshape, or floor-mean flips the hash — this closes the curation
+    brief's 'resize' surface with genuine pixel math."""
+    from gossiphs_spark.operators.multimodal import resize_image_stats
+
+    @F.pandas_udf("binary")
+    def mk_bmp(did_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_bmp_bytes(int(did), int(w), int(h))
+            for did, w, h in zip(did_s, w_s, h_s)
+        ])
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did"),
+        (F.col("doc_id") % 10 + 8).cast("long").alias("w"),
+        (F.col("doc_id") % 8 + 8).cast("long").alias("h"),
+    )
+    payloads = d.select(
+        F.concat(F.lit("doc://"), F.col("did").cast("string")).alias("url"),
+        mk_bmp("did", "w", "h").alias("payload"),
+    )
+    return resize_image_stats(payloads, factor=2)
+
+
 def mm_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: documents text bytes → typed
     metadata via Arrow-batched mapInPandas (decode stubbed: no codec libs

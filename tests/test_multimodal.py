@@ -1364,3 +1364,26 @@ def test_jpeg_progressive_scan_budget_is_cumulative(monkeypatch):
     assert mmod._parse_jpeg_pixels(good) is not None
     monkeypatch.setattr(mmod, "_JPEG_SCAN_BUDGET", 8)
     assert mmod._parse_jpeg_pixels(good) is None
+
+
+def test_downsample_plane_exact_box_mean():
+    """Hand-computable 4x2 image downsampled by 2 → two output pixels,
+    each the floor of its 2x2 block mean; non-multiple dims crop; a
+    factor larger than the image returns None."""
+    import numpy as np
+
+    from gossiphs_spark.operators.multimodal import downsample_plane
+
+    plane = np.array([
+        [[0, 0, 0], [10, 10, 10], [100, 0, 0], [101, 0, 0]],
+        [[1, 2, 3], [9, 8, 7], [103, 0, 0], [107, 0, 0]],
+    ], dtype=np.uint8)
+    small = downsample_plane(plane, 2)
+    assert small.shape == (1, 2, 3)
+    assert small[0, 0].tolist() == [5, 5, 5]       # (0+10+1+9)//4 exact
+    assert small[0, 1].tolist() == [102, 0, 0]     # 411 // 4 floors
+    # crop: 5x3 by 2 → 2x1 output, column 2 and row 4 dropped
+    p2 = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    s2 = downsample_plane(p2, 2)
+    assert s2.shape == (2, 1, 3)
+    assert downsample_plane(p2, 7) is None

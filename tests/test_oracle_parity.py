@@ -125,6 +125,7 @@ FLAGSHIPS = {
     "mm_avi_meta",
     "dd_image_phash",
     "mm_jpeg_progressive",
+    "mm_resize_stats",
     "ann_lsh_buckets",
     "dd_ngram_jaccard",
     "a10_metadata_arrays",
