@@ -1032,16 +1032,23 @@ def _jpeg_scan_progressive(p, pos, scan, params, htabs, ri,
                     k += 1
             if eobrun > 0:
                 # correction bits for the rest of the band, then count
-                # this block against the run
-                while k <= se:
-                    cur = int(row[k])
-                    if cur != 0:
-                        bit = rd.read_bits(1)
-                        if bit is None:
-                            return None
-                        if bit and (cur & p1) == 0:
-                            row[k] = cur + (p1 if cur >= 0 else m1)
-                    k += 1
+                # this block against the run. Fast path (r8 ADVICE): a
+                # band with no nonzero history reads no correction bits,
+                # so the per-coefficient Python walk is a no-op — detect
+                # that with one vectorized check instead of 63
+                # interpreted iterations (a crafted EOBn-only multi-scan
+                # stream otherwise costs ~20us/block/scan while
+                # consuming zero entropy bytes, dodging the scan budget)
+                if row[k:se + 1].any():
+                    while k <= se:
+                        cur = int(row[k])
+                        if cur != 0:
+                            bit = rd.read_bits(1)
+                            if bit is None:
+                                return None
+                            if bit and (cur & p1) == 0:
+                                row[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
                 eobrun -= 1
     return rd.consumed
 
@@ -1619,8 +1626,10 @@ def downsample_plane(plane, factor: int):
     import numpy as np
 
     f = int(factor)
+    if f <= 0:  # guard BEFORE the division (r8 ADVICE: factor=0 crashed)
+        return None
     hh, ww = plane.shape[0] // f, plane.shape[1] // f
-    if f <= 0 or hh == 0 or ww == 0:
+    if hh == 0 or ww == 0:
         return None
     a = plane[:hh * f, :ww * f].astype(np.int64)
     return a.reshape(hh, f, ww, f, 3).sum(axis=(1, 3)) // (f * f)

@@ -1387,3 +1387,77 @@ def test_downsample_plane_exact_box_mean():
     s2 = downsample_plane(p2, 2)
     assert s2.shape == (2, 1, 3)
     assert downsample_plane(p2, 7) is None
+
+
+def test_downsample_plane_factor_zero_and_negative():
+    """factor <= 0 returns None (r8 ADVICE: the // f ran before the
+    guard, so factor=0 raised ZeroDivisionError inside the Spark task)."""
+    import numpy as np
+
+    from gossiphs_spark.operators.multimodal import downsample_plane
+
+    plane = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert downsample_plane(plane, 0) is None
+    assert downsample_plane(plane, -3) is None
+
+
+def test_jpeg_progressive_eobn_run_fast_path():
+    """AC-refinement EOBn runs spanning many blocks (r8 ADVICE shape):
+    the decoder's zero-history fast path must skip the band walk WITHOUT
+    changing results — both for all-zero bands (no correction bits) and
+    for runs whose blocks carry nonzero history (correction bits still
+    consumed, in k order). The test encoder only emits per-block EOB0,
+    so the EOBn refinement scan is crafted by hand here."""
+    from gossiphs_spark.operators.multimodal import _parse_jpeg_pixels
+    from gossiphs_spark.plans.queries import (
+        _JpegBitWriter, jpeg_canonical_codes)
+
+    # same canonical AC table the test encoder builds
+    ac_vals = [r << 4 for r in range(16)] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    ac_codes = dict(zip(ac_vals, jpeg_canonical_codes(ac_bits)))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    def crafted(blocks, w, h):
+        # base scans: DC first at Al=1, AC first at Al=1, DC refine —
+        # leaves the AC refinement (1,63,1,0) to the hand-built EOBn scan
+        base = _encode_prog_gray(
+            w, h, blocks, [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0)]
+        )[:-2]
+        nb = len(blocks)
+        r = nb.bit_length() - 1
+        assert (1 << r) == nb, "test wants a power-of-two block count"
+        bw = _JpegBitWriter()
+        bw.put(*ac_codes[(r << 4) | 0])      # EOBn symbol
+        if r:
+            bw.put(0, r)                     # eobrun = 1 << r exactly
+        for blk in blocks:                   # correction bits, k order
+            for k in range(1, 64):
+                if abs(blk[k]) >> 1 != 0:    # nonzero history at Al=1
+                    bw.put(abs(blk[k]) & 1, 1)
+        body = bytes([1, 1, 0x00, 1, 63, (1 << 4) | 0])
+        return base + seg(0xDA, body) + bw.flush() + b"\xff\xd9"
+
+    # case 1: 64 blocks, all-zero AC — every block takes the vectorized
+    # no-history skip inside one EOBn run
+    w, h = 64, 64
+    blocks = [[200 - 3 * i] + [0] * 63 for i in range(64)]
+    assert _parse_jpeg_pixels(crafted(blocks, w, h)) == \
+        _expected_gray_sums(w, h, blocks)
+
+    # case 2: half the blocks carry nonzero history (even and odd
+    # refinement bits) — the run must still read their correction bits
+    blocks2 = []
+    for i in range(64):
+        blk = [100 - i] + [0] * 63
+        if i % 2 == 0:
+            blk[5] = 6   # history 3, correction bit 0
+            blk[17] = 7  # history 3, correction bit 1
+        blocks2.append(blk)
+    assert _parse_jpeg_pixels(crafted(blocks2, w, h)) == \
+        _expected_gray_sums(w, h, blocks2)
