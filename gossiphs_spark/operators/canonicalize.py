@@ -47,10 +47,13 @@ def _shingle_names(names: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(names: DataFrame, n_perms: int = 16,
-                       shingle_k: int = 3) -> DataFrame:
-    """(name, p, sig): md5-based min-hash per permutation."""
+                       shingle_k: int = 3,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    """(name, p, sig): md5-based min-hash per permutation. ``shingles``
+    lets a caller share one (possibly cached) shingle table instead of
+    re-deriving the explode+distinct pass."""
     spark = names.sparkSession
-    sh = _shingle_names(names, shingle_k)
+    sh = shingles if shingles is not None else _shingle_names(names, shingle_k)
     perms = spark.range(n_perms).select(F.col("id").cast("int").alias("p"))
     return (
         sh.crossJoin(F.broadcast(perms))
@@ -65,7 +68,8 @@ def minhash_signatures(names: DataFrame, n_perms: int = 16,
 
 def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
                         rows_per_band: int = 4, shingle_k: int = 3,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Blocked + banded candidate pairs (name_a < name_b).
 
     ``max_bucket_size`` HARD-bounds the bucket self-join's quadratic
@@ -80,7 +84,7 @@ def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
     components downstream — every split is logged loudly with sizes
     (never a silent cap). Default None = exact reference semantics
     (the fixture-scale oracles run uncapped)."""
-    sig = minhash_signatures(names, n_perms, shingle_k)
+    sig = minhash_signatures(names, n_perms, shingle_k, shingles=shingles)
     bands = (
         sig.withColumn("band", F.floor(F.col("p") / rows_per_band).cast("int"))
         .groupBy("name", "band")
@@ -162,13 +166,25 @@ def lsh_candidate_pairs(names: DataFrame, n_perms: int = 16,
 def verified_pairs(names: DataFrame, n_perms: int = 16,
                    rows_per_band: int = 4, jaccard_min: float = 0.6,
                    shingle_k: int = 3,
-                   lsh_max_bucket_size: int | None = None) -> DataFrame:
+                   lsh_max_bucket_size: int | None = None,
+                   cached_out: list | None = None) -> DataFrame:
     """LSH candidates filtered by exact shingle Jaccard ≥ jaccard_min.
     ``lsh_max_bucket_size`` passes through to lsh_candidate_pairs'
-    oversized-bucket split guard (default None = uncapped)."""
-    cands = lsh_candidate_pairs(names, n_perms, rows_per_band, shingle_k,
-                                max_bucket_size=lsh_max_bucket_size)
+    oversized-bucket split guard (default None = uncapped).
+
+    The shingle table feeds FOUR consumers (the minhash signatures, both
+    sides of the intersection join, the per-name sizes); when
+    ``cached_out`` is given it is cached — one explode+distinct pass
+    instead of four — and appended there for the caller to unpersist
+    after its action (the same lifetime contract as
+    canonicalize_triples' cached_out)."""
     sh = _shingle_names(names, shingle_k)
+    if cached_out is not None:
+        sh = sh.cache()
+        cached_out.append(sh)
+    cands = lsh_candidate_pairs(names, n_perms, rows_per_band, shingle_k,
+                                max_bucket_size=lsh_max_bucket_size,
+                                shingles=sh)
     sizes = sh.groupBy("name").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.select(F.col("name").alias("name_a"), "shingle"), "name_a")
@@ -305,11 +321,15 @@ def canonical_entities(names: DataFrame, n_perms: int = 16,
     if cache_names:
         names = names.cache()
     # materialized once: the count-then-branch below and the chosen
-    # components path both read it without re-running the LSH plan
+    # components path both read it without re-running the LSH plan; the
+    # shingle cache verified_pairs created is released right after
+    _vp_caches: list = []
     pairs = verified_pairs(
         names, n_perms, rows_per_band, jaccard_min, shingle_k,
-        lsh_max_bucket_size=lsh_max_bucket_size,
+        lsh_max_bucket_size=lsh_max_bucket_size, cached_out=_vp_caches,
     ).localCheckpoint(eager=True)
+    for c in _vp_caches:
+        c.unpersist()
 
     if pairs.count() <= driver_pairs_limit and driver_pairs_limit > 0:
         labels, converged = _union_find_labels(names, pairs), True

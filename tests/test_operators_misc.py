@@ -236,3 +236,27 @@ def test_outlink_same_host_cap_bounds_hub_fanout(spark):
         "https://hub.com/p002.html",
     }  # deterministic lexical-first selection
     assert all(r["match_kind"] == "same_host" for r in got)
+
+
+def test_fixture_partitions_clamps_and_restores(spark):
+    """fixture_partitions derives parallelism from the fixture size,
+    never raises the session value, floors at 2, and restores on exit
+    (including via early return/exception)."""
+    from gossiphs_spark.session import fixture_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with fixture_partitions(spark, 500, rows_per_part=100) as n:
+        assert n == min(int(before), 5) if int(before) >= 2 else 2
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # tiny fixture floors at 2; huge fixture never exceeds the session
+    with fixture_partitions(spark, 10) as n:
+        assert n == 2
+    with fixture_partitions(spark, 10**9) as n:
+        assert n == int(before)
+    try:
+        with fixture_partitions(spark, 10):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

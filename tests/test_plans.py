@@ -127,7 +127,13 @@ def test_idf_map_broadcasts(spark):
     """j1_candidate_counts joins the per-name def-count dim — it must be a
     broadcast join (the corpus-sized pair join it replaced was the r1
     50s → 3s rewrite)."""
-    plan = plan_of(Q.j1_candidate_counts(spark, SF_DIR))
+    # the query detaches its result (localCheckpoint) — lint the real
+    # computation plan via the capture hook, not "Scan ExistingRDD"
+    Q._EXPLAIN_CAPTURE = True
+    try:
+        plan = plan_of(Q.j1_candidate_counts(spark, SF_DIR))
+    finally:
+        Q._EXPLAIN_CAPTURE = False
     assert "BroadcastHashJoin" in plan
 
 
