@@ -186,11 +186,15 @@ def _candidates(defs: DataFrame, refs: DataFrame,
     )
 
     allc = exact.unionByName(base_candidates)
-    # dedup (ref, def) pairs keeping the exact-match row (ref graph.rs:638-641)
-    w = Window.partitionBy("ref_url", "ref_name", "def_url", "def_name", "def_byte").orderBy(
-        F.desc("is_exact")
-    )
-    return allc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # dedup (ref, def) pairs keeping the exact-match row (ref graph.rs:638-641).
+    # As an aggregation, not a row_number window: occ is constant within the
+    # key (it is a (ref_url, ref_name) attribute) and is_exact folds with
+    # max(), so the groupBy is value-identical to "keep the exact row" while
+    # pre-reducing map-side and skipping the window's per-partition sort
+    # (guide §2.3 "aggregate before you shuffle").
+    return allc.groupBy(
+        "ref_url", "ref_name", "def_url", "def_name", "def_byte"
+    ).agg(F.max("occ").alias("occ"), F.max("is_exact").alias("is_exact"))
 
 
 def _physical_evidence(cands: DataFrame, imports: DataFrame) -> DataFrame:
@@ -237,6 +241,15 @@ def build_graph(
     # idf/triples) — cache it or Arrow extraction re-executes per branch.
     # The reference extracts exactly once (graph.rs:504-508); so do we.
     mentions = mentions.cache()
+    # The evidence dedup scan is independent of the mention/stats chain
+    # until the size-limit filter (which needs n_pages), so its cache fill
+    # runs CONCURRENTLY with the stats job below (guide §2.6 — overlap
+    # independent jobs so one job's tail back-fills the other's executors).
+    from concurrent.futures import ThreadPoolExecutor
+
+    ev_base = evidence.select("url", "evidence_id", "ts").distinct().cache()
+    pool = ThreadPoolExecutor(max_workers=1)
+    ev_fill = pool.submit(ev_base.count)
     # ONE stats pass over the cached mentions feeds every scalar the plan
     # needs: n_pages (was a second full scan of `pages` — at 100 TB that is
     # a second corpus read for one number; pages without mentions are
@@ -314,20 +327,24 @@ def build_graph(
     imports = fm.filter(F.col("kind") == "IMPORT")
 
     # ---- evidence prep (F8, A4, A12) — all small aggregates, broadcastable
-    ev = evidence.select("url", "evidence_id", "ts").distinct()
-    sizes = ev.groupBy("evidence_id").agg(F.countDistinct("url").alias("n_urls"))
+    ev_fill.result()  # dedup scan finished behind the stats/fm jobs
+    pool.shutdown(wait=False)
+    sizes = ev_base.groupBy("evidence_id").agg(
+        F.countDistinct("url").alias("n_urls")
+    )
     limit = int(n_pages * cfg.commit_size_limit_ratio)
     # the evidence-id dictionary grows with the corpus (snapshots ∝ crawl
     # volume) just like the name dictionaries — same gate (bcast_ok is the
     # one corpus-scale switch: past the threshold, every corpus-growing
     # dictionary stays a shuffle join)
-    ev = ev.join(
+    ev = ev_base.join(
         _maybe_broadcast(
             sizes.filter(F.col("n_urls") < limit).select("evidence_id"), bcast_ok
         ),
         "evidence_id", "left_semi",
     ).cache()  # consumed by anchor, cardinality, pair-intersection, gate
     anchor_row = ev.agg(F.max("ts").alias("mx")).collect()[0]
+    ev_base.unpersist()  # the filtered ev cache is materialized now
     anchor = anchor_row["mx"]
     if cfg.temporal_decay and anchor is not None:
         age_days = (
