@@ -274,6 +274,32 @@ def symbol_neighbors(edges_df: DataFrame, name: str,
     )
 
 
+def edge_names(defs: DataFrame, refs: DataFrame) -> DataFrame:
+    """The distinct names of :func:`edges`(defs, refs) WITHOUT
+    materializing the join (per name the join emits |ref_pages| x
+    |def_pages| rows — ~10^8 at sf0.1 — only to be key-projected).
+    A name has an edge iff it has >= 1 ref page, >= 1 def page, and the
+    two sets are not one single shared page (the src != dst filter):
+    nd > 0 AND nr > 0 AND |ref_pages ∪ def_pages| > 1. Pinned equal to
+    the join's key set by tests/test_textmode.py."""
+    per_name = (
+        defs.select("url", "name").distinct()
+        .withColumn("kind", F.lit("D"))
+        .unionByName(
+            refs.select("url", "name").distinct().withColumn("kind", F.lit("R"))
+        )
+        .groupBy("name")
+        .agg(
+            F.countDistinct(F.when(F.col("kind") == "D", F.col("url"))).alias("nd"),
+            F.countDistinct(F.when(F.col("kind") == "R", F.col("url"))).alias("nr"),
+            F.countDistinct("url").alias("nu"),
+        )
+    )
+    return per_name.filter(
+        (F.col("nd") > 0) & (F.col("nr") > 0) & (F.col("nu") > 1)
+    ).select("name")
+
+
 def symbol_neighbors_many(edges_df: DataFrame, names_df: DataFrame) -> DataFrame:
     """Vectorized :func:`symbol_neighbors` over a probe-name table (ref
     api.rs:301-315, bulk form): per probed name, the DEF-direction rows

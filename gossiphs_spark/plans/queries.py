@@ -406,10 +406,12 @@ def a9_symbol_neighbors(spark, sf_dir):
     row. Anchor pages probe < 5 (the text-mode vocabulary is ~30 dense
     words, so an unprobed symbol slice is ~10^5 detail rows at sf0.01)."""
     m, fm = _cached_fm(spark, sf_dir)
-    e = tm.edges(
-        fm.filter(F.col("kind") == "DEF"), fm.filter(F.col("kind") == "REF")
-    )
-    probe = e.select("name").distinct().orderBy("name").limit(3)
+    defs = fm.filter(F.col("kind") == "DEF")
+    refs = fm.filter(F.col("kind") == "REF")
+    e = tm.edges(defs, refs)
+    # probe names via the per-name aggregate (tm.edge_names) instead of
+    # key-projecting the materialized edge join (~10^8 rows at sf0.1)
+    probe = tm.edge_names(defs, refs).orderBy("name").limit(3)
     out = tm.symbol_neighbors_many(e, probe)
     out = out.filter(_doc_num(F.col("anchor_url")) < 5).select(
         "kind", "anchor_url", "neighbor_url", "name",
@@ -2396,8 +2398,14 @@ def kg_pagerank(spark, sf_dir):
     # cache the (bounded, ≤300² row) aggregated subgraph: pagerank reads
     # its edge input four times (endpoints ×2, out-weights, share join)
     agg = e.groupBy("src_url", "dst_url").agg(F.sum("weight").alias("w")).cache()
-    pr = pagerank(agg, src="src_url", dst="dst_url", weight="w",
-                  iters=3, damping=0.85)  # detaches internally
+    agg.count()  # fill at corpus parallelism (the linking join is big)…
+    from gossiphs_spark.session import fixture_partitions
+
+    # …then iterate at subgraph parallelism: the 3 rank iterations run
+    # ~10 shuffle stages over a ≤300-node graph (scale-adaptive clamp)
+    with fixture_partitions(spark, 300):
+        pr = pagerank(agg, src="src_url", dst="dst_url", weight="w",
+                      iters=3, damping=0.85)  # detaches internally
     for c in (m, fm, agg):
         c.unpersist()
     return pr.select(

@@ -134,3 +134,36 @@ def test_symbol_neighbors_slices_edges(spark):
     e = tm.edges(m.filter(F.col("kind") == "DEF"), m.filter(F.col("kind") == "REF"))
     out = tm.symbol_neighbors(e, "alpha", kind="DEF").collect()
     assert all(r["name"] == "alpha" for r in out)
+
+
+def test_edge_names_matches_edge_join_key_set(spark):
+    """edge_names must equal edges().select('name').distinct() including
+    the boundary the dense corpora never hit: a name whose only def and
+    only ref share ONE page has no edge (src != dst empties it) and must
+    be excluded; a single-def name ref'd from another page stays."""
+    from pyspark.sql import functions as F
+
+    from gossiphs_spark.operators import textmode as tm
+
+    pages = spark.createDataFrame(
+        [
+            # "solo" def+ref only on p1 -> no edge
+            ("doc://1", "solo thing solo", "s"),
+            # "thing" defined on p1 and p2, ref'd on p2 (second
+            # occurrence) -> edge p2 -> p1
+            ("doc://2", "other thing thing", "s"),
+            # "other" defined on p2, never ref'd elsewhere -> no edge
+            # "only_def" defined p3, no refs anywhere -> no edge
+            ("doc://3", "only_def word word", "s"),
+        ],
+        "url string, content string, source string",
+    )
+    fm = tm.filter_pointless(tm.mentions(pages), 3)
+    defs = fm.filter(F.col("kind") == "DEF")
+    refs = fm.filter(F.col("kind") == "REF")
+    expected = sorted(
+        r["name"] for r in tm.edges(defs, refs).select("name").distinct().collect()
+    )
+    got = sorted(r["name"] for r in tm.edge_names(defs, refs).collect())
+    assert got == expected
+    assert "thing" in got and "solo" not in got
