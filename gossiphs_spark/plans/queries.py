@@ -257,37 +257,25 @@ def u1_profile_counts(spark, sf_dir):
 
 
 def f7_pointless_counts(spark, sf_dir):
-    # cache the mention pass: filter_pointless references it four times
-    # (defs/refs branches + both F7 name dictionaries) — guide §5
-    m = _mentions(spark, sf_dir).cache()
-    fm = tm.filter_pointless(m, 3)
-    out = fm.groupBy("url", "kind").agg(F.count("*").cast("long").alias("n"))
-    return _finish(out, m)
+    # NOT cache-converted (r9): the one-consumer fm pass costs less than
+    # a full-corpus cache fill; AQE reuses the identical-filter branches
+    fm = _filtered(spark, sf_dir)
+    return fm.groupBy("url", "kind").agg(F.count("*").cast("long").alias("n"))
 
 
 def a3_idf(spark, sf_dir):
-    m = _mentions(spark, sf_dir).cache()
-    defs = tm.filter_pointless(m, 3).filter(F.col("kind") == "DEF")
+    defs, _ = _defs_refs(spark, sf_dir)
     out = tm.idf(defs, _ndocs(spark, sf_dir))
-    return _finish(
-        out.select(
-            "name", F.col("df").cast("long").alias("df"),
-            F.round("idf", 6).alias("idf"),
-        ),
-        m,
+    return out.select(
+        "name", F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
     )
 
 
 def j1_link_exact(spark, sf_dir):
-    m, fm = _cached_fm(spark, sf_dir)
-    defs = fm.filter(F.col("kind") == "DEF")
-    refs = fm.filter(F.col("kind") == "REF")
+    defs, refs = _defs_refs(spark, sf_dir)
     links = tm.link_exact(defs, refs.filter(_doc_num(F.col("url")) < 5))
-    out = links.select(
-        "ref_url", "def_url", "name",
-        F.col("start_byte").cast("long").alias("start_byte"),
-    )
-    return _finish(out, m, fm)
+    return links.select("ref_url", "def_url", "name", F.col("start_byte").cast("long").alias("start_byte"))
 
 
 def j1_candidate_counts(spark, sf_dir):
@@ -297,16 +285,14 @@ def j1_candidate_counts(spark, sf_dir):
     on a 30-word vocabulary at sf0.1). n_defs = total defining pages of
     the name minus 1 if the ref page itself defines it (the self-link
     exclusion the pair join's def_url != ref_url does)."""
-    m, fm = _cached_fm(spark, sf_dir)
-    defs = fm.filter(F.col("kind") == "DEF")
-    refs = fm.filter(F.col("kind") == "REF")
+    defs, refs = _defs_refs(spark, sf_dir)
     dd = defs.select("url", "name").distinct()
     name_counts = dd.groupBy("name").agg(F.countDistinct("url").alias("total_defs"))
     ref_groups = refs.select(F.col("url").alias("ref_url"), "name").distinct()
     self_def = dd.select(F.col("url").alias("ref_url"), "name").withColumn(
         "self_def", F.lit(1)
     )
-    out = (
+    return (
         ref_groups.join(F.broadcast(name_counts), "name")
         .join(self_def, ["ref_url", "name"], "left")
         .fillna({"self_def": 0})
@@ -316,13 +302,10 @@ def j1_candidate_counts(spark, sf_dir):
         )
         .filter(F.col("n_defs") > 0)
     )
-    return _finish(out, m, fm)
 
 
 def j2_link_basename(spark, sf_dir):
-    m, fm = _cached_fm(spark, sf_dir)
-    defs = fm.filter(F.col("kind") == "DEF")
-    refs = fm.filter(F.col("kind") == "REF")
+    defs, refs = _defs_refs(spark, sf_dir)
     qdefs = defs.select(
         "url", F.concat_ws(".", "source", "name").alias("qualified_name")
     ).distinct()
@@ -332,7 +315,7 @@ def j2_link_basename(spark, sf_dir):
         .distinct()
     )
     out = tm.link_by_base_name(qdefs, probe_refs)
-    return _finish(out.select("ref_url", "qualified_name", "def_url"), m, fm)
+    return out.select("ref_url", "qualified_name", "def_url")
 
 
 def a8_edges(spark, sf_dir):
@@ -363,9 +346,11 @@ def a9_related_with_symbols(spark, sf_dir):
     every related pair carries its (name, weight) evidence list plus the
     other page's def/ref counts. Symbols serialize to a sorted 'name:w|…'
     string so the value-hash compares across engines."""
-    m, fm = _cached_fm(spark, sf_dir)
-    defs = fm.filter(F.col("kind") == "DEF")
-    refs = fm.filter(F.col("kind") == "REF")
+    # NOT converted to _cached_fm (r9 A/B, BENCH/ab_1e8f359_vs_e2644f4):
+    # this query's branches share identical filters, so AQE's runtime
+    # exchange reuse already dedups them; routing through InMemoryRelation
+    # was b_slower_in_every_pair (+1..+4 s) under AQE and a wash without.
+    defs, refs = _defs_refs(spark, sf_dir)
     e = tm.edges(defs, refs)
     out = tm.related_with_symbols(e, defs, refs).filter(_doc_num(F.col("page")) < 10)
     sym_str = F.concat_ws(
@@ -375,13 +360,12 @@ def a9_related_with_symbols(spark, sf_dir):
             lambda x: F.concat(x["name"], F.lit(":"), x["w"].cast("string")),
         ),
     )
-    out = out.select(
+    return out.select(
         "page", "other", F.col("score").cast("long").alias("score"),
         sym_str.alias("symbols"),
         F.col("n_defs").cast("long").alias("n_defs"),
         F.col("n_refs").cast("long").alias("n_refs"),
     )
-    return _finish(out, m, fm)
 
 
 def w8_topk_neighbors(spark, sf_dir):
@@ -464,19 +448,16 @@ def o8_hub_damped_counts(spark, sf_dir):
     name, defining-page df + surviving mention count after the stoplist
     anti-join (hot names → n_kept = 0). Ratio 0.78 splits the sf0.01
     vocabulary 12 hot / 12 kept, so both branches are non-vacuous."""
-    m, fm = _cached_fm(spark, sf_dir)
-    defs = fm.filter(F.col("kind") == "DEF")
-    refs = fm.filter(F.col("kind") == "REF")
+    defs, refs = _defs_refs(spark, sf_dir)
     stop = tm.hub_stoplist(defs, _ndocs(spark, sf_dir), max_def_ratio=0.78)
     kept = tm.damp_hubs(defs.unionByName(refs), stop)
     per_name = kept.groupBy("name").agg(F.count("*").alias("n_kept"))
     df_tbl = defs.groupBy("name").agg(F.countDistinct("url").cast("long").alias("df"))
-    out = (
+    return (
         df_tbl.join(per_name, "name", "left")
         .fillna({"n_kept": 0})
         .select("name", "df", F.col("n_kept").cast("long").alias("n_kept"))
     )
-    return _finish(out, m, fm)
 
 
 def j3_same_host_cap(spark, sf_dir):
@@ -523,17 +504,14 @@ def w4_related_filtered(spark, sf_dir):
     sf0.1, tiny shared vocabulary) makes a detail-row query quadratic."""
     from gossiphs_spark.operators.ranking import filter_related
 
-    m, fm = _cached_fm(spark, sf_dir)
-    defs = fm.filter(F.col("kind") == "DEF")
-    rel = tm.related_pages(
-        tm.edges(defs, fm.filter(F.col("kind") == "REF")), defs
-    ).filter(_doc_num(F.col("page")) < 50)
+    # NOT converted to _cached_fm (r9 A/B, BENCH/ab_1e8f359_vs_e2644f4):
+    # filter_related's explicit repartition already lets AQE reuse the one
+    # upstream exchange at runtime; the cached variant regressed
+    # b_slower_in_every_pair (+10..+30 s) under AQE and was a wash without.
+    rel = _related(spark, sf_dir).filter(_doc_num(F.col("page")) < 50)
     out = filter_related(rel, ["page"], "score", "other",
                          file_min_links=2, file_max_links=4)
-    return _finish(
-        out.select("page", "other", F.col("score").cast("long").alias("score")),
-        m, fm,
-    )
+    return out.select("page", "other", F.col("score").cast("long").alias("score"))
 
 
 def j7_trigram_fallback(spark, sf_dir):
