@@ -1176,6 +1176,8 @@ def _detach(spark, df):
     the scored build caches its hot intermediates, and a sequence of
     queries sharing one session would otherwise accumulate them until the
     heap fills. Demo-sized outputs only (collects to the driver)."""
+    if _EXPLAIN_CAPTURE:
+        return df
     rows = df.collect()
     schema = df.schema
     spark.catalog.clearCache()
@@ -1186,6 +1188,8 @@ def _detach_cached(spark, df, cached):
     """Scoped :func:`_detach`: materialize a small result, then unpersist
     exactly the caches in ``cached`` (e.g. canonicalize_triples'
     ``cached_out``) — other queries sharing the session keep theirs."""
+    if _EXPLAIN_CAPTURE:
+        return df
     rows = df.collect()
     schema = df.schema
     for c in cached:
@@ -1198,6 +1202,8 @@ def _detach_graph(spark, df, g):
     exactly the caches (and the scratch stage) the given build created —
     unlike ``clearCache()`` this leaves every OTHER query's warmed cache
     in place when many contract queries share one session (bench/driver)."""
+    if _EXPLAIN_CAPTURE:
+        return df
     rows = df.collect()
     schema = df.schema
     g.release_caches()
