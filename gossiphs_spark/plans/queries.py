@@ -515,23 +515,24 @@ def w4_related_filtered(spark, sf_dir):
 
 
 def j7_trigram_fallback(spark, sf_dir):
-    """J7 over trigram entities (rare enough to have unique defs)."""
+    """J7 over trigram entities (rare enough to have unique defs).
+    NOT cache-converted (r9): only two real consumers of the trigram
+    stream — the fill costs what it saves (measured wash-to-slight-loss
+    in the clean-window runs)."""
     m = _mentions(spark, sf_dir)
     w = Window.partitionBy("url").orderBy("pos")
-    # cache the trigram stream: the defs/refs branches below are three
-    # independent consumers of the lead-window pass (guide §5)
     tri = (
         m.withColumn("w2", F.lead("name", 1).over(w))
         .withColumn("w3", F.lead("name", 2).over(w))
         .filter(F.col("w3").isNotNull())
         .select("url", F.concat_ws(" ", "name", "w2", "w3").alias("name"),
                 F.col("kind"))
-    ).cache()
+    )
     defs = tri.filter(F.col("kind") == "DEF").select("url", "name").distinct()
     refs = tri.filter(F.col("kind") == "REF").select("url", "name").distinct()
     linked = defs.limit(0).select("name")  # nothing pre-linked in this probe
     out = tm.unique_def_fallback(defs, refs, linked)
-    return _finish(out.select("name", "def_url", "ref_url"), tri)
+    return out.select("name", "def_url", "ref_url")
 
 
 def triples_extract(spark, sf_dir):
@@ -542,25 +543,23 @@ def triples_extract(spark, sf_dir):
 
 
 def so1_snapshot_diff(spark, sf_dir):
+    # NOT cache-converted (r9): the three cache fills (mentions + two fm
+    # snapshots) measured slightly slower than the direct two-build plan
+    # in matched clean windows — the page<5 probes prune each build enough
+    # that the shared pass cannot pay for itself
     half = _ndocs(spark, sf_dir) // 2
-    # both snapshots derive from ONE cached mention pass: mentions() is
-    # per-page algebra, so mentions(pages.filter(p)) ≡ mentions(pages)
-    # .filter(p on url) — the old snapshot is a filter over the cache
-    m = _mentions(spark, sf_dir).cache()
-    caches = [m]
+    pages = doc_pages(spark, sf_dir)
+    old_pages = pages.filter(_doc_num(F.col("url")) < half)
 
-    def build(mm):
-        fm = tm.filter_pointless(mm, 3).cache()
-        caches.append(fm)
+    def build(p):
+        fm = tm.filter_pointless(tm.mentions(p), 3)
         d = fm.filter(F.col("kind") == "DEF")
         r = fm.filter(F.col("kind") == "REF")
         return tm.related_pages(tm.edges(d, r), d)
 
-    old_rel = build(m.filter(_doc_num(F.col("url")) < half)).filter(
-        _doc_num(F.col("page")) < 5
-    )
-    new_rel = build(m).filter(_doc_num(F.col("page")) < 5)
-    return _finish(snapshot_diff(old_rel, new_rel), *caches)
+    old_rel = build(old_pages).filter(_doc_num(F.col("page")) < 5)
+    new_rel = build(pages).filter(_doc_num(F.col("page")) < 5)
+    return snapshot_diff(old_rel, new_rel)
 
 
 def s5_dense_export(spark, sf_dir):
